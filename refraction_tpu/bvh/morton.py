@@ -1,0 +1,67 @@
+"""Morton (Z-order) codes for spatially coherent triangle ordering.
+
+The reference gets spatial coherence for free from DXR's BLAS build
+(`BuildRaytracingAccelerationStructure`, RefractionDemo.cpp:321); our
+TPU-native equivalent sorts triangles along a 30-bit 3D Morton curve so that
+contiguous *clusters* of triangles are spatially compact — the basis of both
+the cluster-AABB culling kernel (kernels/) and the LBVH (bvh/lbvh.py).
+
+NumPy host-side version here (scene build happens once); a jnp device-side
+version is exposed for the on-device LBVH build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _expand_bits_np(v: np.ndarray) -> np.ndarray:
+    """Spread the low 10 bits of v so there are 2 zero bits between each."""
+    v = v.astype(np.uint32)
+    v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+    v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+    v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+    v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+    return v
+
+
+def morton3d(points: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes for points inside the AABB [lo, hi]."""
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip((points - lo) / extent, 0.0, 0.9999999)
+    q = (q * 1024.0).astype(np.uint32)
+    x = _expand_bits_np(q[..., 0])
+    y = _expand_bits_np(q[..., 1])
+    z = _expand_bits_np(q[..., 2])
+    return (x << np.uint32(2)) | (y << np.uint32(1)) | z
+
+
+def morton_order(tri_pos: np.ndarray) -> np.ndarray:
+    """Stable Morton ordering of triangles by centroid. tri_pos: (T,3,3)."""
+    if tri_pos.shape[0] == 0:
+        return np.zeros(0, np.int64)
+    centroids = tri_pos.mean(axis=1)
+    lo = tri_pos.reshape(-1, 3).min(axis=0)
+    hi = tri_pos.reshape(-1, 3).max(axis=0)
+    codes = morton3d(centroids, lo, hi)
+    return np.argsort(codes, kind="stable")
+
+
+def expand_bits_jnp(v, jnp):
+    """jnp version of _expand_bits_np (for device-side LBVH builds)."""
+    v = v.astype(jnp.uint32)
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def morton3d_jnp(points, lo, hi, jnp):
+    extent = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((points - lo) / extent, 0.0, 0.9999999)
+    q = (q * 1024.0).astype(jnp.uint32)
+    x = expand_bits_jnp(q[..., 0], jnp)
+    y = expand_bits_jnp(q[..., 1], jnp)
+    z = expand_bits_jnp(q[..., 2], jnp)
+    return (x << jnp.uint32(2)) | (y << jnp.uint32(1)) | z

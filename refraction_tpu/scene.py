@@ -1,0 +1,130 @@
+"""Scene representation: device-resident triangle soup + environment map.
+
+The TPU-native replacement for the reference's GPU resource zoo — vertex /
+index upload buffers (Mesh.cpp:55-94), the BLAS/TLAS acceleration structures
+(RefractionDemo.cpp:272-361) and SRV descriptor tables (RefractionDemo.cpp:466-511)
+all collapse into one immutable pytree of dense arrays:
+
+- triangles are Morton-sorted at build time (our BLAS-build equivalent) and
+  padded with degenerate triangles to a multiple of the cluster size, so
+  every downstream kernel sees static, tile-aligned shapes;
+- per-cluster AABBs play the role of the acceleration structure;
+- Möller–Trumbore inputs (A, e1, e2) are precomputed once.
+
+The pytree passes straight through jit/shard_map; geometry is replicated
+across devices (scenes are tiny — SURVEY.md 2.4) while rays/pixels shard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+
+from refraction_tpu.bvh.clusters import build_clusters
+from refraction_tpu.bvh.morton import morton_order
+from refraction_tpu.config import RenderConfig
+from refraction_tpu.io.objmesh import MeshData, parse_obj
+from refraction_tpu.io.texture import load_texture
+
+
+class Scene(NamedTuple):
+    """All-array scene pytree (leaves may be numpy or jax arrays)."""
+
+    tri_a: np.ndarray        # (T, 3)  first vertex
+    tri_e1: np.ndarray       # (T, 3)  B - A
+    tri_e2: np.ndarray       # (T, 3)  C - A
+    tri_norm: np.ndarray     # (T, 3, 3) per-corner shading normals
+    cluster_lo: np.ndarray   # (C, 3) cluster AABB min
+    cluster_hi: np.ndarray   # (C, 3) cluster AABB max
+    envmap: np.ndarray       # (H, W, 3) float32 equirect environment
+
+    @property
+    def num_tris(self) -> int:
+        return int(self.tri_a.shape[0])
+
+    @property
+    def num_clusters(self) -> int:
+        return int(self.cluster_lo.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneMeta:
+    """Static (non-traced) facts about a built scene."""
+
+    num_real_tris: int
+    num_padded_tris: int
+    cluster_size: int
+    scene_path: str = ""
+    envmap_path: str = ""
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_scene(
+    mesh: MeshData,
+    envmap: np.ndarray,
+    cluster_size: int = 32,
+) -> tuple[Scene, SceneMeta]:
+    """Morton-sort, pad, and precompute intersection inputs."""
+    t_real = mesh.num_tris
+    order = morton_order(mesh.positions)
+    pos = mesh.positions[order]
+    norm = mesh.normals[order]
+
+    t_pad = max(_round_up(max(t_real, 1), cluster_size), cluster_size)
+    if t_pad > t_real:
+        # Degenerate padding: repeat the last real triangle's first vertex as
+        # all three corners -> zero-area, never intersected (det == 0), and
+        # a point inside the final cluster so its AABB stays tight.
+        if t_real > 0:
+            pad_pt = pos[-1, 0]
+        else:
+            pad_pt = np.zeros(3, np.float32)
+        pad_pos = np.broadcast_to(pad_pt, (t_pad - t_real, 3, 3)).copy()
+        pad_norm = np.broadcast_to(
+            np.array([0, 1, 0], np.float32), (t_pad - t_real, 3, 3)
+        ).copy()
+        pos = np.concatenate([pos, pad_pos])
+        norm = np.concatenate([norm, pad_norm])
+
+    lo, hi = build_clusters(pos, cluster_size)
+    scene = Scene(
+        tri_a=np.ascontiguousarray(pos[:, 0]),
+        tri_e1=np.ascontiguousarray(pos[:, 1] - pos[:, 0]),
+        tri_e2=np.ascontiguousarray(pos[:, 2] - pos[:, 0]),
+        tri_norm=np.ascontiguousarray(norm),
+        cluster_lo=lo,
+        cluster_hi=hi,
+        envmap=np.ascontiguousarray(envmap, dtype=np.float32),
+    )
+    meta = SceneMeta(
+        num_real_tris=t_real,
+        num_padded_tris=t_pad,
+        cluster_size=cluster_size,
+    )
+    return scene, meta
+
+
+def load_scene(cfg: RenderConfig) -> tuple[Scene, SceneMeta]:
+    """Load scene + envmap from cfg paths (the `initialize` asset ingest,
+    RefractionDemo.cpp:527,537-538)."""
+    mesh = parse_obj(cfg.scene_path)
+    envmap = load_texture(cfg.envmap_path)
+    scene, meta = build_scene(mesh, envmap, cfg.cluster_size)
+    meta = dataclasses.replace(
+        meta, scene_path=cfg.scene_path, envmap_path=cfg.envmap_path
+    )
+    return scene, meta
+
+
+def scene_to_device(scene: Scene, sharding=None) -> Scene:
+    """Move scene leaves to device (replicated unless a sharding is given)."""
+    import jax
+
+    if sharding is None:
+        return jax.tree.map(jax.device_put, scene)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), scene)
