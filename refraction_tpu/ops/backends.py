@@ -1,0 +1,77 @@
+"""Intersection backends for the wavefront integrator.
+
+Both implement the IntersectFn contract (integrator.py):
+  (scene, origins, dirs, want_front, alive, tmin, tmax) -> (hit, t, tri_idx)
+
+- ``xla_intersect``: pure-jnp brute force, tiled over rays with ``lax.map``
+  so the fused Möller–Trumbore chain never materializes more than a
+  (chunk, T) slab. Runs everywhere (CPU/TPU); the correctness baseline.
+- the Pallas kernel backend lives in kernels/intersect_pallas.py and is
+  selected via `get_backend('pallas')`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from refraction_tpu.ops.intersect import intersect_closest
+from refraction_tpu.scene import Scene
+
+
+def _pad_to(x, n, fill=0):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    shape = (pad,) + x.shape[1:]
+    return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)])
+
+
+def xla_intersect(
+    scene: Scene,
+    origins,
+    dirs,
+    want_front,
+    alive,
+    tmin,
+    tmax,
+    chunk: int = 8192,
+):
+    """Brute-force closest hit, ray-tiled. alive is accepted but unused
+    (dense evaluation; masking happens in the integrator)."""
+    del alive
+    n = origins.shape[0]
+    c = min(chunk, n)
+    n_pad = ((n + c - 1) // c) * c
+
+    o = _pad_to(origins, n_pad).reshape(-1, c, 3)
+    d = _pad_to(dirs, n_pad, fill=1).reshape(-1, c, 3)
+    wf = _pad_to(want_front, n_pad).reshape(-1, c)
+
+    def body(args):
+        oo, dd, ww = args
+        return intersect_closest(
+            oo, dd, scene.tri_a, scene.tri_e1, scene.tri_e2, tmin, tmax, ww, jnp
+        )
+
+    hit, t, idx = jax.lax.map(body, (o, d, wf))
+    return (
+        hit.reshape(-1)[:n],
+        t.reshape(-1)[:n],
+        idx.reshape(-1)[:n],
+    )
+
+
+def get_backend(name: str, cluster_size: int = 32, interpret: bool = False):
+    """Resolve a backend name ('xla' | 'pallas' | 'auto') to an IntersectFn."""
+    if name == "auto":
+        name = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if name == "xla":
+        return xla_intersect
+    if name == "pallas":
+        from refraction_tpu.kernels.intersect_pallas import pallas_intersect
+
+        return partial(pallas_intersect, interpret=interpret)
+    raise ValueError(f"unknown intersect backend: {name}")

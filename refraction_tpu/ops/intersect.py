@@ -72,6 +72,62 @@ def intersect_brute(origins, dirs, tri_a, tri_e1, tri_e2, tmin, tmax,
     return hit_any, t_best, idx, u[ar, idx], v[ar, idx]
 
 
+def intersect_closest(origins, dirs, tri_a, tri_e1, tri_e2, tmin, tmax,
+                      want_front, xp):
+    """Closest hit returning only (hit, t, tri_idx).
+
+    Same math and acceptance rules as `intersect_brute`, but the only
+    reductions over the triangle axis are min/argmin — on the XLA path this
+    lets the whole Möller–Trumbore chain fuse into the reduction without
+    materializing (N, T) attribute buffers. Barycentrics for the winning
+    triangle are recomputed afterwards by `recompute_uv` (a per-ray gather).
+    """
+    f32 = xp.float32
+    big = f32(3.0e38)
+
+    d = dirs[:, None, :]
+    pvec = _cross(d, tri_e2[None], xp)
+    det = xp.sum(tri_e1[None] * pvec, axis=-1)
+    accept = xp.where(want_front[:, None], det > 0, det < 0)
+
+    safe_det = xp.where(det == 0, f32(1.0), det)
+    inv_det = f32(1.0) / safe_det
+    tvec = origins[:, None, :] - tri_a[None]
+    u = xp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = _cross(tvec, tri_e1[None], xp)
+    v = xp.sum(d * qvec, axis=-1) * inv_det
+    t = xp.sum(tri_e2[None] * qvec, axis=-1) * inv_det
+
+    hit = (
+        accept & (det != 0) & (u >= 0) & (v >= 0) & (u + v <= 1)
+        & (t >= tmin) & (t <= tmax)
+    )
+    t_sel = xp.where(hit, t, big)
+    idx = xp.argmin(t_sel, axis=1).astype(xp.int32)
+    t_best = xp.min(t_sel, axis=1)
+    return t_best < big, t_best, idx
+
+
+def recompute_uv(origins, dirs, tri_a, tri_e1, tri_e2, idx, xp):
+    """Barycentrics (u, v) of each ray against its chosen triangle.
+
+    One gathered triangle per ray; values match what `intersect_brute`
+    reports for the same (ray, tri) pair up to float reassociation.
+    """
+    f32 = xp.float32
+    a = tri_a[idx]
+    e1 = tri_e1[idx]
+    e2 = tri_e2[idx]
+    pvec = _cross(dirs, e2, xp)
+    det = xp.sum(e1 * pvec, axis=-1)
+    inv_det = f32(1.0) / xp.where(det == 0, f32(1.0), det)
+    tvec = origins - a
+    u = xp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = _cross(tvec, e1, xp)
+    v = xp.sum(dirs * qvec, axis=-1) * inv_det
+    return u, v
+
+
 def closest_hit_chunked(origins, dirs, scene, tmin, tmax, want_front, xp,
                         chunk: int = 65536):
     """Brute force in ray chunks to bound the (chunk, T) intermediates.

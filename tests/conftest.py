@@ -17,8 +17,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: the integrator's unrolled wavefront takes
+# ~2 min to compile cold on XLA:CPU; cached reruns take seconds.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from refraction_tpu.config import RenderConfig  # noqa: E402
 from refraction_tpu.io.primitives import (  # noqa: E402
