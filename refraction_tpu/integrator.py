@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from refraction_tpu.config import RenderConfig
 from refraction_tpu.ops.intersect import recompute_uv
 from refraction_tpu.ops.shade import (
-    envmap_color,
     fresnel_r,
     normalize,
     reflect_dir,
@@ -41,27 +40,40 @@ from refraction_tpu.scene import Scene
 
 # An intersect backend maps
 #   (scene, origins (W,3), dirs (W,3), want_front (W,), alive (W,), tmin, tmax)
-#   -> (hit (W,), t (W,), tri_idx (W,))
+#   -> (hit (W,), t (W,), tri_idx (W,), normal (W,3) | None)
+# where normal, if provided, is the winning triangle's interpolated
+# (unnormalized) shading normal — kernels that already touch the winning
+# triangle report it directly, sparing the integrator a per-ray gather.
 IntersectFn = Callable[..., tuple]
 
 _SAFE_DIR = (0.0, 1.0, 0.0)
 
 
-def _shade_hits(scene: Scene, o, d, outside, t, tri_idx, cfg: RenderConfig):
+def _shade_hits(scene: Scene, o, d, outside, t, tri_idx, cfg: RenderConfig,
+                knorm=None):
     """ClosestHit math (RayTracing.hlsl:79-123) for a batch of hit rays.
 
     Returns (hit_point, n_prime, fresnel_R, refract_ok, refract_dir).
-    Only meaningful where the caller's hit mask is True.
+    Only meaningful where the caller's hit mask is True. ``knorm`` is the
+    backend-provided interpolated normal, if any.
     """
-    u, v = recompute_uv(o, d, scene.tri_a, scene.tri_e1, scene.tri_e2,
-                        tri_idx, jnp)
-    norms = scene.tri_norm[tri_idx]  # (W, 3, 3)
-    nsh = normalize(
-        norms[:, 0]
-        + u[:, None] * (norms[:, 1] - norms[:, 0])
-        + v[:, None] * (norms[:, 2] - norms[:, 0]),
-        jnp,
-    )
+    if knorm is not None:
+        nsh = normalize(knorm, jnp)
+    else:
+        u, v = recompute_uv(o, d, scene.tri_a, scene.tri_e1, scene.tri_e2,
+                            tri_idx, jnp)
+        # Gather the 9 normal components as flat (W,) arrays: a direct
+        # tri_norm[tri_idx] produces a (W, 3, 3) result whose tiled layout
+        # XLA pads ~57x (observed 15.5 GB at 1080p wavefront widths).
+        tn = scene.tri_norm  # (T, 3, 3)
+        comp = [tn[:, c, x][tri_idx] for c in range(3) for x in range(3)]
+        a_n = jnp.stack(comp[0:3], axis=-1)
+        b_n = jnp.stack(comp[3:6], axis=-1)
+        c_n = jnp.stack(comp[6:9], axis=-1)
+        nsh = normalize(
+            a_n + u[:, None] * (b_n - a_n) + v[:, None] * (c_n - a_n),
+            jnp,
+        )
     nprime = jnp.where(outside[:, None], nsh, -nsh)
     hit_p = o + t[:, None] * d
     dot_dn = jnp.sum(d * nprime, axis=-1)
@@ -77,8 +89,22 @@ def render_pixels(
     dirs: jnp.ndarray,
     cfg: RenderConfig,
     intersect_fn: IntersectFn,
+    env_fn: Callable | None = None,
+    collect_stats: bool = False,
 ) -> jnp.ndarray:
-    """Trace N primary rays to completion; returns (N, 3) linear radiance."""
+    """Trace N primary rays to completion; returns (N, 3) linear radiance.
+
+    ``env_fn(scene, dirs, weight) -> (W, 3)`` computes the weighted miss
+    contribution (weight already zeroed on non-miss lanes); defaults to the
+    XLA gather implementation. With ``collect_stats`` returns
+    (radiance, {'rays_traced': int32 scalar, 'slot_rounds': int}) where
+    rays_traced counts *live* lanes entering each trace round (the honest
+    Mrays/s numerator) and slot_rounds the dense slot count.
+    """
+    if env_fn is None:
+        from refraction_tpu.ops.backends import xla_env_contribution
+
+        env_fn = xla_env_contribution
     n = origins.shape[0]
     f32 = jnp.float32
     safe_dir = jnp.asarray(_SAFE_DIR, f32)
@@ -89,26 +115,31 @@ def render_pixels(
     outside = jnp.ones((n,), bool)
     alive = jnp.ones((n,), bool)
     radiance = jnp.zeros((n, 3), f32)
+    rays_traced = jnp.zeros((), jnp.int32)
+    slot_rounds = 0
 
     for count in range(cfg.max_refract_depth + 1):
+        if collect_stats:
+            rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
+            slot_rounds += int(o.shape[0])
         tmin = f32(cfg.primary_tmin if count == 0 else cfg.secondary_tmin)
         tmax = f32(cfg.primary_tmax if count == 0 else cfg.secondary_tmax)
 
-        hit, t, tri_idx = intersect_fn(scene, o, d, outside, alive, tmin, tmax)
+        res = intersect_fn(scene, o, d, outside, alive, tmin, tmax)
+        hit, t, tri_idx = res[0], res[1], res[2]
+        knorm = res[3] if len(res) > 3 else None
         hit = hit & alive
 
         # Miss shading (RayTracing.hlsl:127-137): weight * envmap.
-        env = envmap_color(d, scene.envmap, jnp)
-        miss_contrib = jnp.where(
-            (alive & ~hit)[:, None], weight[:, None] * env, f32(0.0)
-        )
+        miss_weight = jnp.where(alive & ~hit, weight, f32(0.0))
+        miss_contrib = env_fn(scene, d, miss_weight)
         radiance = radiance + miss_contrib.reshape(-1, n, 3).sum(axis=0)
 
         if count == cfg.max_refract_depth:
             break  # hits at the cap contribute black (RayTracing.hlsl:82)
 
         hit_p, nprime, r, refr_ok, refr = _shade_hits(
-            scene, o, d, outside, t, tri_idx, cfg
+            scene, o, d, outside, t, tri_idx, cfg, knorm=knorm
         )
         safe_o = jnp.where(hit[:, None], hit_p, o)
 
@@ -134,4 +165,6 @@ def render_pixels(
             o, d = safe_o, new_d
             weight, outside, alive = new_weight, new_outside, refr_alive
 
+    if collect_stats:
+        return radiance, {"rays_traced": rays_traced, "slot_rounds": slot_rounds}
     return radiance

@@ -1,0 +1,156 @@
+"""Pallas TPU envmap miss shader: equirect texel fetch without XLA gathers.
+
+The miss shader (RayTracing.hlsl:127-137) is a per-ray random access into
+the environment map. XLA's TPU gather costs ~10 ns/ray (~80 ms per
+wavefront round at 1080p widths) — it became the frame bottleneck once
+intersection moved to Pallas. This kernel exploits two structural facts:
+
+1. The whole envmap fits in VMEM (a 640x480 RGB f32 map is 3.7 MB),
+   packed as (3*R, 128): flat texel index f = iy*W + ix lives at row
+   (c*R + f//128), lane (f%128).
+2. Ray blocks are *angularly coherent* (pixel-major primaries, and
+   secondary rays inherit pixel order), so a block's flat indices span a
+   narrow row window. The kernel scans only rows [min(q)//8*8, max(q)]
+   in groups of 8, and resolves lanes with the hardware cross-lane
+   ``dynamic_gather`` (jnp.take_along_axis axis=1) — 8 row-broadcast
+   gathers per group, no scalar loops.
+
+Dead lanes (weight 0) are excluded from the window min/max, and fully
+dead blocks skip everything — late wavefront rounds cost ~nothing.
+
+atan2/acos are polynomial implementations (utils/fastmath.py) because
+Mosaic has no native lowering; the XLA backend uses the *same*
+implementations so backends agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from refraction_tpu.config import REF_PI_ENVMAP
+from refraction_tpu.scene import Scene
+from refraction_tpu.utils.fastmath import acos, atan2
+
+BLOCK_RAYS = 1024
+_SUB = 8
+_LANE = 128
+
+
+def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
+                height: int, width: int, rows_per_chan: int):
+    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+    out_r[:] = zero
+    out_g[:] = zero
+    out_b[:] = zero
+
+    wgt = w[:]
+    alive = wgt > 0.0
+
+    @pl.when(jnp.any(alive))
+    def _():
+        x, y, z = dx[:], dy[:], dz[:]
+        pi = jnp.float32(REF_PI_ENVMAP)
+        theta = width * (atan2(x, z) / pi + 1.0) / 2.0
+        phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
+        ix = jnp.clip(theta.astype(jnp.int32), 0, width - 1)
+        iy = jnp.clip(phi.astype(jnp.int32), 0, height - 1)
+        f = iy * width + ix
+        q = f // _LANE
+        r = f % _LANE
+
+        big = jnp.int32(2 ** 30)
+        q_lo = jnp.min(jnp.where(alive, q, big))
+        q_hi = jnp.max(jnp.where(alive, q, -1))
+        g0 = (q_lo // _SUB) * _SUB
+        n_groups = q_hi // _SUB - q_lo // _SUB + 1
+
+        def group(i, accs):
+            acc_r, acc_g, acc_b = accs
+            base = g0 + i * _SUB
+            brow = q - base
+            tiles = [
+                env_ref[pl.ds(c * rows_per_chan + base, _SUB), :]
+                for c in range(3)
+            ]
+            for j in range(_SUB):
+                mj = alive & (brow == j)
+                for c, (tile, acc) in enumerate(
+                    zip(tiles, (acc_r, acc_g, acc_b))
+                ):
+                    row = jnp.broadcast_to(tile[j:j + 1, :], (_SUB, _LANE))
+                    g = jnp.take_along_axis(row, r, axis=1)
+                    if c == 0:
+                        acc_r = jnp.where(mj, g, acc_r)
+                    elif c == 1:
+                        acc_g = jnp.where(mj, g, acc_g)
+                    else:
+                        acc_b = jnp.where(mj, g, acc_b)
+            return acc_r, acc_g, acc_b
+
+        acc_r, acc_g, acc_b = jax.lax.fori_loop(
+            0, n_groups, group, (zero, zero, zero)
+        )
+        out_r[:] = wgt * acc_r
+        out_g[:] = wgt * acc_g
+        out_b[:] = wgt * acc_b
+
+
+def _pad(x, n_pad, fill=0.0):
+    pad = n_pad - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+        )
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+def _env_call(env_flat, dirs, weight, height, width, interpret=False):
+    n = dirs.shape[0]
+    rows = n // _LANE
+    grid = n // BLOCK_RAYS
+    rows_per_chan = env_flat.shape[0] // 3
+
+    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32_out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
+
+    def comp(i):
+        return dirs[:, i].reshape(rows, _LANE)
+
+    r, g, b = pl.pallas_call(
+        functools.partial(
+            _env_kernel, height=height, width=width,
+            rows_per_chan=rows_per_chan,
+        ),
+        grid=(grid,),
+        in_specs=[
+            ray_spec, ray_spec, ray_spec, ray_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # env (3R, 128)
+        ],
+        out_specs=(ray_spec,) * 3,
+        out_shape=(f32_out, f32_out, f32_out),
+        interpret=interpret,
+    )(comp(0), comp(1), comp(2), weight.reshape(rows, _LANE), env_flat)
+    return jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+
+
+def pallas_env_contribution(scene: Scene, dirs, weight,
+                            interpret: bool = False):
+    """Weighted miss contributions: weight[i] * envmap(dirs[i]), (W, 3).
+
+    weight must already be zero on non-miss / dead lanes.
+    """
+    n = dirs.shape[0]
+    n_pad = ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS
+    d = _pad(dirs.astype(jnp.float32), n_pad, fill=1.0)
+    w = _pad(weight.astype(jnp.float32), n_pad, fill=0.0)
+    h, wid = scene.envmap.shape[0], scene.envmap.shape[1]
+    env_flat = scene.env_packed.reshape(-1, _LANE)
+    out = _env_call(env_flat, d, w, h, wid, interpret=interpret)
+    return out[:n]

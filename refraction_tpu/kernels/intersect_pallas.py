@@ -1,0 +1,270 @@
+"""Pallas TPU closest-hit kernel: the software replacement for DXR TraceRay.
+
+Design (TPU-first, not a BVH translation — SURVEY.md 7 "hard parts"):
+
+- Rays are processed in blocks of 1024 as (8, 128) VMEM tiles (sublane x
+  lane), one grid program per block. All Möller–Trumbore math is dense
+  float32 VPU work over the whole tile.
+- Triangles arrive Morton-sorted in equal-size *clusters* (scene.py). The
+  per-cluster AABBs live in SMEM; for each cluster the kernel slab-tests
+  every ray in the block and skips the cluster's triangles entirely
+  (`@pl.when`) when no live ray can hit it. With spatially coherent ray
+  blocks this is the TPU-native analogue of BVH traversal: data-dependent
+  work skipping with fully static shapes and zero divergence cost.
+- Within a visited cluster, triangles are iterated one at a time; the 9
+  triangle scalars are read from SMEM and broadcast to the tile — scalar
+  loads pipeline with vector work on the scalar core.
+- Dead lanes are encoded in the cull operand: cull = +1 (want front hits,
+  det > 0), -1 (want back hits), 0 (dead) — `det * cull > 0` rejects dead
+  lanes for free, and fully dead blocks fail every cluster test, reducing
+  late wavefront rounds to a cheap C-iteration AABB scan.
+
+Acceptance rules match ops/intersect.py exactly (same formulas, strict
+`t < best` update preserves lowest-index tie-breaking since clusters and
+triangles are visited in ascending order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from refraction_tpu.scene import Scene
+
+BLOCK_RAYS = 1024  # (8, 128) tile
+_SUB = 8
+_LANE = 128
+BIG = 3.0e38  # python float: becomes an inline literal inside the kernel
+
+
+def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, ox, oy, oz, dx, dy, dz,
+            cull, t_out, i_out, nx_out, ny_out, nz_out,
+            best_t, best_i, best_nx, best_ny, best_nz, cluster_size: int):
+    tmin = limits_sm[0]
+    tmax = limits_sm[1]
+    # SMEM tables are FLAT 1D: SMEM pads the last dim of 2D arrays to 128
+    # lanes, so a (T, 9) table would burn 14x its size (512 KB at T=1024,
+    # vs the 1 MB SMEM budget). Flat layout: tri i component c at [9i+c].
+    num_clusters = cluster_sm.shape[0] // 6
+
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    cu = cull[:]
+    alive = cu != 0.0
+
+    best_t[:] = jnp.full((_SUB, _LANE), jnp.float32(BIG))
+    best_i[:] = jnp.zeros((_SUB, _LANE), jnp.int32)
+    best_nx[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+    best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
+    best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+
+    # Safe reciprocal directions for the conservative slab test: clamping
+    # tiny components can only widen the hit interval (false positives are
+    # filtered by the exact triangle test; false negatives are impossible).
+    eps = jnp.float32(1e-30)
+    def safe_inv(c):
+        mag = jnp.maximum(jnp.abs(c), eps)
+        return jnp.where(c < 0, -1.0 / mag, 1.0 / mag)
+
+    inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
+
+    def cluster_body(ci, _):
+        cb = ci * 6
+        lo0 = cluster_sm[cb + 0]
+        lo1 = cluster_sm[cb + 1]
+        lo2 = cluster_sm[cb + 2]
+        hi0 = cluster_sm[cb + 3]
+        hi1 = cluster_sm[cb + 4]
+        hi2 = cluster_sm[cb + 5]
+
+        ax_ = (lo0 - o_x) * inv_x
+        bx_ = (hi0 - o_x) * inv_x
+        ay_ = (lo1 - o_y) * inv_y
+        by_ = (hi1 - o_y) * inv_y
+        az_ = (lo2 - o_z) * inv_z
+        bz_ = (hi2 - o_z) * inv_z
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(ax_, bx_), jnp.minimum(ay_, by_)),
+            jnp.maximum(jnp.minimum(az_, bz_), tmin),
+        )
+        leave = jnp.minimum(
+            jnp.minimum(jnp.maximum(ax_, bx_), jnp.maximum(ay_, by_)),
+            jnp.minimum(jnp.maximum(az_, bz_), jnp.minimum(tmax, best_t[:])),
+        )
+        m = (enter <= leave) & alive
+        any_hit = jnp.any(m)
+
+        @pl.when(any_hit)
+        def _():
+            def tri_body(k, _):
+                ti = ci * cluster_size + k
+                tb = ti * 9
+                a0 = tri_sm[tb + 0]
+                a1 = tri_sm[tb + 1]
+                a2 = tri_sm[tb + 2]
+                e10 = tri_sm[tb + 3]
+                e11 = tri_sm[tb + 4]
+                e12 = tri_sm[tb + 5]
+                e20 = tri_sm[tb + 6]
+                e21 = tri_sm[tb + 7]
+                e22 = tri_sm[tb + 8]
+
+                # pvec = cross(D, e2)
+                px = d_y * e22 - d_z * e21
+                py = d_z * e20 - d_x * e22
+                pz = d_x * e21 - d_y * e20
+                det = e10 * px + e11 * py + e12 * pz
+                # det * cull > 0 enforces facing AND kills dead lanes.
+                accept = det * cu > 0.0
+
+                tvx = o_x - a0
+                tvy = o_y - a1
+                tvz = o_z - a2
+                u_num = tvx * px + tvy * py + tvz * pz
+                # qvec = cross(tvec, e1)
+                qx = tvy * e12 - tvz * e11
+                qy = tvz * e10 - tvx * e12
+                qz = tvx * e11 - tvy * e10
+                v_num = d_x * qx + d_y * qy + d_z * qz
+                t_num = e20 * qx + e21 * qy + e22 * qz
+
+                inv_det = 1.0 / jnp.where(det == 0.0, jnp.float32(1.0), det)
+                u = u_num * inv_det
+                v = v_num * inv_det
+                t = t_num * inv_det
+
+                cond = (
+                    accept
+                    & (det != 0.0)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t >= tmin)
+                    & (t <= tmax)
+                )
+                upd = cond & (t < best_t[:])
+                best_t[:] = jnp.where(upd, t, best_t[:])
+                best_i[:] = jnp.where(upd, ti, best_i[:])
+
+                # Interpolated (unnormalized) shading normal of the winning
+                # triangle (RayTracing.hlsl:83-86), tracked in-kernel so the
+                # integrator never needs a per-ray table gather (XLA TPU
+                # gathers at wavefront widths cost ~60 ms each).
+                na0 = norm_sm[tb + 0]
+                na1 = norm_sm[tb + 1]
+                na2 = norm_sm[tb + 2]
+                nb0 = norm_sm[tb + 3]
+                nb1 = norm_sm[tb + 4]
+                nb2 = norm_sm[tb + 5]
+                nc0 = norm_sm[tb + 6]
+                nc1 = norm_sm[tb + 7]
+                nc2 = norm_sm[tb + 8]
+                best_nx[:] = jnp.where(upd, na0 + u * nb0 + v * nc0, best_nx[:])
+                best_ny[:] = jnp.where(upd, na1 + u * nb1 + v * nc1, best_ny[:])
+                best_nz[:] = jnp.where(upd, na2 + u * nb2 + v * nc2, best_nz[:])
+                return 0
+
+            jax.lax.fori_loop(0, cluster_size, tri_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, num_clusters, cluster_body, 0)
+    t_out[:] = best_t[:]
+    i_out[:] = best_i[:]
+    nx_out[:] = best_nx[:]
+    ny_out[:] = best_ny[:]
+    nz_out[:] = best_nz[:]
+
+
+def _pad_rays(x, n_pad):
+    pad = n_pad - x.shape[0]
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, origins,
+                    dirs, cull, limits, interpret=False):
+    n = origins.shape[0]  # already padded to BLOCK_RAYS multiple
+    rows = n // _LANE
+    grid = n // BLOCK_RAYS
+
+    def comp(x, i):
+        return x[:, i].reshape(rows, _LANE)
+
+    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32_out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
+    t, idx, nx, ny, nz = pl.pallas_call(
+        functools.partial(_kernel, cluster_size=tri_packed.shape[0] // cluster_bounds.shape[0]),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # limits (2,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tris flat (9T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri normals flat (9T,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat (6C,)
+            ray_spec, ray_spec, ray_spec,            # origin xyz
+            ray_spec, ray_spec, ray_spec,            # dir xyz
+            ray_spec,                                # cull
+        ],
+        out_specs=(out_spec,) * 5,
+        out_shape=(
+            f32_out,
+            jax.ShapeDtypeStruct((rows, _LANE), jnp.int32),
+            f32_out, f32_out, f32_out,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),
+            pltpu.VMEM((_SUB, _LANE), jnp.int32),
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        limits.reshape(-1), tri_packed.reshape(-1),
+        tri_norm_packed.reshape(-1), cluster_bounds.reshape(-1),
+        comp(origins, 0), comp(origins, 1), comp(origins, 2),
+        comp(dirs, 0), comp(dirs, 1), comp(dirs, 2),
+        cull.reshape(rows, _LANE),
+    )
+    return (t.reshape(-1), idx.reshape(-1),
+            nx.reshape(-1), ny.reshape(-1), nz.reshape(-1))
+
+
+def pallas_intersect(scene: Scene, origins, dirs, want_front, alive,
+                     tmin, tmax, interpret: bool = False):
+    """IntersectFn implementation backed by the Pallas kernel.
+
+    Returns (hit, t, tri_idx, normal) where normal is the (W, 3)
+    *unnormalized* interpolated shading normal of the winning triangle
+    (garbage on non-hit lanes — mask before use).
+    """
+    n = origins.shape[0]
+    n_pad = ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS
+
+    cull = jnp.where(
+        alive, jnp.where(want_front, jnp.float32(1.0), jnp.float32(-1.0)),
+        jnp.float32(0.0),
+    )
+    o = _pad_rays(origins.astype(jnp.float32), n_pad)
+    d = _pad_rays(dirs.astype(jnp.float32), n_pad)
+    cull = _pad_rays(cull, n_pad)
+    limits = jnp.asarray([[tmin, tmax]], jnp.float32)
+
+    t, idx, nx, ny, nz = _pallas_closest(
+        scene.tri_packed, scene.tri_norm_packed, scene.cluster_bounds,
+        o, d, cull, limits, interpret=interpret,
+    )
+    t = t[:n]
+    idx = idx[:n]
+    hit = t < jnp.float32(1.0e37)
+    normal = jnp.stack([nx[:n], ny[:n], nz[:n]], axis=-1)
+    return hit, t, idx, normal

@@ -61,17 +61,42 @@ def xla_intersect(
         hit.reshape(-1)[:n],
         t.reshape(-1)[:n],
         idx.reshape(-1)[:n],
+        None,
     )
 
 
-def get_backend(name: str, cluster_size: int = 32, interpret: bool = False):
-    """Resolve a backend name ('xla' | 'pallas' | 'auto') to an IntersectFn."""
+def xla_env_contribution(scene: Scene, dirs, weight):
+    """Weighted miss contribution via plain-XLA gather (runs everywhere)."""
+    from refraction_tpu.ops.shade import envmap_color
+
+    env = envmap_color(dirs, scene.envmap, jnp)
+    return jnp.where(weight[:, None] > 0, weight[:, None] * env, 0.0)
+
+
+class Backend:
+    """An intersect + env-shading implementation pair."""
+
+    def __init__(self, name, intersect, env_contribution):
+        self.name = name
+        self.intersect = intersect
+        self.env_contribution = env_contribution
+
+
+def get_backend(name: str, cluster_size: int = 32,
+                interpret: bool = False) -> Backend:
+    """Resolve 'xla' | 'pallas' | 'auto' to a Backend."""
+    del cluster_size
     if name == "auto":
         name = "pallas" if jax.default_backend() == "tpu" else "xla"
     if name == "xla":
-        return xla_intersect
+        return Backend("xla", xla_intersect, xla_env_contribution)
     if name == "pallas":
+        from refraction_tpu.kernels.envmap_pallas import pallas_env_contribution
         from refraction_tpu.kernels.intersect_pallas import pallas_intersect
 
-        return partial(pallas_intersect, interpret=interpret)
+        return Backend(
+            "pallas",
+            partial(pallas_intersect, interpret=interpret),
+            partial(pallas_env_contribution, interpret=interpret),
+        )
     raise ValueError(f"unknown intersect backend: {name}")

@@ -1,0 +1,164 @@
+"""Multi-device rendering: shard_map over a JAX device mesh.
+
+The reference is strictly single-GPU (SURVEY.md 2.4 — one adapter,
+RefractionDemo.cpp:155); scaling is a from-scratch TPU design:
+
+- **Pixel data parallelism** (`render_sharded`): the image is sharded over
+  the mesh's ``pixels`` axis; geometry + envmap are replicated (scenes are
+  <= a few MB). Each device runs the full wavefront on its tile; the only
+  cross-device communication is the output assembly — collectives ride ICI
+  via the output sharding, no NCCL-style transport to port.
+- **Triangle sharding** (`make_trisharded_intersect`): for scenes too big
+  to replicate, each device intersects every ray against its triangle
+  shard and the per-device (t, idx) candidates are combined with an
+  all_gather + min/tie-break reduction — the renderer's analogue of
+  tensor parallelism, and the pattern the multichip dry-run exercises.
+
+Both run unchanged on a virtual CPU mesh
+(``--xla_force_host_platform_device_count``) and a real TPU pod slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from refraction_tpu.camera import CameraFrame, generate_rays
+from refraction_tpu.config import RenderConfig
+from refraction_tpu.integrator import render_pixels
+from refraction_tpu.ops.backends import get_backend
+from refraction_tpu.ops.intersect import intersect_closest
+from refraction_tpu.scene import Scene
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), ("pixels",))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_sharded_renderer(
+    cfg: RenderConfig,
+    mesh: Mesh,
+    intersect_fn: Callable | None = None,
+):
+    """Build a jitted multi-device (scene, frame) -> (H, W, 3) renderer.
+
+    Image rows x cols are flattened and sharded over the ``pixels`` mesh
+    axis (padded up to a multiple of the device count); the scene is
+    replicated. Per-sample jitter offsets follow render.make_renderer.
+    """
+    env_fn = None
+    if intersect_fn is None:
+        backend = get_backend(cfg.backend, cfg.cluster_size)
+        intersect_fn = backend.intersect
+        env_fn = backend.env_contribution
+    from refraction_tpu.render import sample_offsets
+
+    offsets = sample_offsets(cfg.spp)
+    n = cfg.height * cfg.width
+    ndev = mesh.devices.size
+    n_pad = _round_up(n, ndev * 8)
+
+    ray_spec = P("pixels")
+    rep = P()
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(rep, ray_spec, ray_spec),
+        out_specs=ray_spec,
+    )
+    def _trace_shard(scene, o, d):
+        return render_pixels(scene, o, d, cfg, intersect_fn, env_fn)
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _render(scene: Scene, proj_inv, origin):
+        frame = CameraFrame(origin=origin, proj_inv=proj_inv)
+        acc = jnp.zeros((n_pad, 3), jnp.float32)
+        for s in range(cfg.spp):
+            jitter = jnp.broadcast_to(jnp.asarray(offsets[s]), (n, 2))
+            o, d = generate_rays(
+                frame, cfg.width, cfg.height,
+                jitter=None if cfg.spp == 1 else jitter, xp=jnp,
+            )
+            pad = n_pad - n
+            if pad:
+                o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                d = jnp.concatenate(
+                    [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], d.dtype), (pad, 3))]
+                )
+            o = jax.lax.with_sharding_constraint(o, NamedSharding(mesh, ray_spec))
+            d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, ray_spec))
+            acc = acc + _trace_shard(scene, o, d)
+        return (acc[:n] / cfg.spp).reshape(cfg.height, cfg.width, 3)
+
+    def render(scene: Scene, frame: CameraFrame):
+        return _render(
+            scene,
+            jnp.asarray(frame.proj_inv, jnp.float32),
+            jnp.asarray(frame.origin, jnp.float32),
+        )
+
+    return render
+
+
+def make_trisharded_intersect(mesh: Mesh, axis: str = "pixels"):
+    """IntersectFn where *triangles* are sharded over ``axis``.
+
+    For scenes too large to replicate: every device sees all rays,
+    intersects its contiguous triangle shard, and per-device (t, idx)
+    candidates reduce across the mesh — min over t, ties to the lowest
+    global triangle index (argmin over the device axis picks the lowest
+    shard, and shards are contiguous ascending, so tie-breaking matches
+    the single-device argmin-first contract exactly).
+
+    Shading-side arrays (tri_norm) stay replicated in this version; only
+    the intersection inputs shard. Triangle counts must divide evenly by
+    the device count (scene padding handles this — pick cluster_size as a
+    multiple of the device count).
+    """
+
+    def intersect(scene: Scene, origins, dirs, want_front, alive, tmin, tmax):
+        del alive
+
+        def local(tri_a, tri_e1, tri_e2, o, d, wf):  # noqa: ANN001
+            t_local = tri_a.shape[0]
+            shard_id = jax.lax.axis_index(axis)
+            hit, t, idx = intersect_closest(
+                o, d, tri_a, tri_e1, tri_e2, tmin, tmax, wf, jnp,
+            )
+            gidx = idx + shard_id.astype(jnp.int32) * t_local
+            ts = jax.lax.all_gather(
+                jnp.where(hit, t, jnp.float32(3e38)), axis
+            )  # (ndev, N)
+            gs = jax.lax.all_gather(gidx, axis)
+            best_dev = jnp.argmin(ts, axis=0)
+            ar = jnp.arange(ts.shape[1])
+            t_best = ts[best_dev, ar]
+            i_best = gs[best_dev, ar]
+            return t_best < jnp.float32(1e37), t_best, i_best
+
+        hit, t_best, i_best = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            # Outputs are deterministically identical on every device (same
+            # all_gather + argmin everywhere); the static checker can't see
+            # that, so varying-mesh-axis checking is disabled.
+            check_vma=False,
+        )(scene.tri_a, scene.tri_e1, scene.tri_e2, origins, dirs, want_front)
+        return hit, t_best, i_best, None
+
+    return intersect

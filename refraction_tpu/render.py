@@ -24,6 +24,34 @@ from refraction_tpu.ops.backends import get_backend
 from refraction_tpu.scene import Scene
 
 
+TILE_H = 8
+TILE_W = 128
+
+
+def tile_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Permute flat row-major pixel data (N, ...) into (8, 128)-patch order.
+
+    Each 1024-ray kernel block then covers an 8x128 *image patch* instead
+    of half a scanline: alive lanes (object pixels) concentrate into fewer
+    blocks and every block's rays span a narrow angular window, which is
+    what the cluster-skip and envmap-window kernels key on. Pure
+    reshape/transpose — no gather. Requires height % 8 == width % 128 == 0
+    (render pads first).
+    """
+    rest = x.shape[1:]
+    x = x.reshape(height // TILE_H, TILE_H, width // TILE_W, TILE_W, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((height * width,) + rest)
+
+
+def untile_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Inverse of `tile_order`."""
+    rest = x.shape[1:]
+    x = x.reshape(height // TILE_H, width // TILE_W, TILE_H, TILE_W, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape((height * width,) + rest)
+
+
 def sample_offsets(spp: int) -> np.ndarray:
     """Deterministic stratified sub-pixel offsets, (spp, 2) in [0,1).
 
@@ -41,16 +69,31 @@ def sample_offsets(spp: int) -> np.ndarray:
 def make_renderer(
     cfg: RenderConfig,
     intersect_fn: Callable | None = None,
+    env_fn: Callable | None = None,
 ) -> Callable[[Scene, CameraFrame], jnp.ndarray]:
     """Build a jitted (scene, frame) -> (H, W, 3) renderer for ``cfg``."""
     if intersect_fn is None:
-        intersect_fn = get_backend(cfg.backend, cfg.cluster_size)
+        backend = get_backend(cfg.backend, cfg.cluster_size)
+        intersect_fn = backend.intersect
+        if env_fn is None:
+            env_fn = backend.env_contribution
     offsets = sample_offsets(cfg.spp)
     inv_spp = np.float32(1.0 / cfg.spp)
 
+    # Pad the image to whole (8, 128) tiles (duplicated edge rays, cropped
+    # after) so ray blocks are image patches — see tile_order.
+    h_pad = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
+    w_pad = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
+
+    def _pad_tile(x):
+        x = x.reshape(cfg.height, cfg.width, 3)
+        x = jnp.pad(x, ((0, h_pad - cfg.height), (0, w_pad - cfg.width), (0, 0)),
+                    mode="edge")
+        return tile_order(x.reshape(-1, 3), h_pad, w_pad)
+
     @jax.jit
     def _render(scene: Scene, proj_inv: jnp.ndarray, origin: jnp.ndarray):
-        acc = jnp.zeros((cfg.height * cfg.width, 3), jnp.float32)
+        acc = jnp.zeros((h_pad * w_pad, 3), jnp.float32)
         for s in range(cfg.spp):
             frame = CameraFrame(origin=origin, proj_inv=proj_inv)
             jitter = jnp.broadcast_to(
@@ -60,8 +103,12 @@ def make_renderer(
                 frame, cfg.width, cfg.height,
                 jitter=None if cfg.spp == 1 else jitter, xp=jnp,
             )
-            acc = acc + render_pixels(scene, o, d, cfg, intersect_fn)
-        return (acc * inv_spp).reshape(cfg.height, cfg.width, 3)
+            acc = acc + render_pixels(
+                scene, _pad_tile(o), _pad_tile(d), cfg, intersect_fn, env_fn
+            )
+        img = untile_order(acc * inv_spp, h_pad, w_pad)
+        img = img.reshape(h_pad, w_pad, 3)
+        return img[:cfg.height, :cfg.width]
 
     def render(scene: Scene, frame: CameraFrame) -> jnp.ndarray:
         return _render(
@@ -79,11 +126,12 @@ def render_frame(
     angle: float = 0.01,
     frame: CameraFrame | None = None,
     intersect_fn: Callable | None = None,
+    env_fn: Callable | None = None,
 ) -> jnp.ndarray:
     """One-shot render (compiles on first use per (cfg, backend))."""
     if frame is None:
         frame = orbit_camera(angle, cfg)
-    return make_renderer(cfg, intersect_fn)(scene, frame)
+    return make_renderer(cfg, intersect_fn, env_fn)(scene, frame)
 
 
 def rays_per_frame(cfg: RenderConfig) -> int:

@@ -36,9 +36,14 @@ class Scene(NamedTuple):
     tri_e1: np.ndarray       # (T, 3)  B - A
     tri_e2: np.ndarray       # (T, 3)  C - A
     tri_norm: np.ndarray     # (T, 3, 3) per-corner shading normals
+    tri_packed: np.ndarray   # (T, 9)  [A | e1 | e2] rows (kernel layout)
+    tri_norm_packed: np.ndarray  # (T, 9) [nA | nB-nA | nC-nA] (kernel layout)
     cluster_lo: np.ndarray   # (C, 3) cluster AABB min
     cluster_hi: np.ndarray   # (C, 3) cluster AABB max
+    cluster_bounds: np.ndarray  # (C, 6) [lo | hi] rows (kernel layout)
     envmap: np.ndarray       # (H, W, 3) float32 equirect environment
+    env_packed: np.ndarray   # (3, R, 128) float32: flattened H*W texels per
+                             # channel, 128 per row (envmap kernel layout)
 
     @property
     def num_tris(self) -> int:
@@ -92,14 +97,38 @@ def build_scene(
         norm = np.concatenate([norm, pad_norm])
 
     lo, hi = build_clusters(pos, cluster_size)
+    tri_a = np.ascontiguousarray(pos[:, 0])
+    tri_e1 = np.ascontiguousarray(pos[:, 1] - pos[:, 0])
+    tri_e2 = np.ascontiguousarray(pos[:, 2] - pos[:, 0])
+    envmap = np.ascontiguousarray(envmap, dtype=np.float32)
+
+    # Envmap kernel layout: flat texels, 128 per row, rows padded to 8.
+    flat = envmap.reshape(-1, 3)
+    n_tex = flat.shape[0]
+    rows = _round_up(max(n_tex, 1), 128 * 8) // 128
+    env_packed = np.zeros((3, rows, 128), np.float32)
+    for c in range(3):
+        env_packed[c].reshape(-1)[:n_tex] = flat[:, c]
+
     scene = Scene(
-        tri_a=np.ascontiguousarray(pos[:, 0]),
-        tri_e1=np.ascontiguousarray(pos[:, 1] - pos[:, 0]),
-        tri_e2=np.ascontiguousarray(pos[:, 2] - pos[:, 0]),
+        tri_a=tri_a,
+        tri_e1=tri_e1,
+        tri_e2=tri_e2,
         tri_norm=np.ascontiguousarray(norm),
+        tri_packed=np.ascontiguousarray(
+            np.concatenate([tri_a, tri_e1, tri_e2], axis=1)
+        ),
+        tri_norm_packed=np.ascontiguousarray(
+            np.concatenate(
+                [norm[:, 0], norm[:, 1] - norm[:, 0], norm[:, 2] - norm[:, 0]],
+                axis=1,
+            )
+        ),
         cluster_lo=lo,
         cluster_hi=hi,
-        envmap=np.ascontiguousarray(envmap, dtype=np.float32),
+        cluster_bounds=np.ascontiguousarray(np.concatenate([lo, hi], axis=1)),
+        envmap=envmap,
+        env_packed=env_packed,
     )
     meta = SceneMeta(
         num_real_tris=t_real,

@@ -21,6 +21,12 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The environment's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; pin the platform back to host CPU (tests must
+# never depend on the one real TPU chip, and the sharding tests need the 8
+# fake CPU devices forced above).
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the integrator's unrolled wavefront takes
 # ~2 min to compile cold on XLA:CPU; cached reruns take seconds.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")

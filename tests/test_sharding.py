@@ -1,0 +1,76 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (SURVEY.md 4):
+image-sharded rendering must match single-device bit-for-bit, and the
+triangle-sharded intersect must match the replicated one."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import rmse
+from refraction_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_renderer,
+    make_trisharded_intersect,
+)
+from refraction_tpu.camera import orbit_camera
+from refraction_tpu.ops.backends import xla_intersect
+from refraction_tpu.render import make_renderer
+
+
+def test_eight_fake_devices():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_image_sharded_matches_single(sphere_scene, small_cfg, ndev):
+    scene, _ = sphere_scene
+    cfg = small_cfg.replace(width=40, height=24, backend="xla")
+    frame = orbit_camera(0.6, cfg)
+
+    single = np.asarray(make_renderer(cfg)(scene, frame))
+    mesh = make_mesh(ndev)
+    sharded = np.asarray(make_sharded_renderer(cfg, mesh)(scene, frame))
+    # Pixel math is identical, but the single-device path renders in
+    # tile-permuted order (render.tile_order) so XLA fuses differently ->
+    # ulp-level noise; assert tight agreement, not bit equality.
+    np.testing.assert_allclose(single, sharded, rtol=0, atol=2e-6)
+
+
+def test_image_sharded_supersampling(cube_scene, small_cfg):
+    scene, _ = cube_scene
+    cfg = small_cfg.replace(width=32, height=16, backend="xla", spp=4)
+    frame = orbit_camera(0.3, cfg)
+    single = np.asarray(make_renderer(cfg)(scene, frame))
+    sharded = np.asarray(
+        make_sharded_renderer(cfg, make_mesh(8))(scene, frame)
+    )
+    assert rmse(single, sharded) < 1e-7
+
+
+def test_trisharded_intersect_matches(sphere_scene):
+    scene, meta = sphere_scene
+    assert meta.num_padded_tris % 8 == 0
+    mesh = make_mesh(8)
+
+    rng = np.random.default_rng(7)
+    n = 512
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wf = jnp.asarray(rng.random(n) < 0.5)
+    al = jnp.ones(n, bool)
+    tmin, tmax = jnp.float32(1e-4), jnp.float32(100.0)
+
+    h1, t1, i1, _ = xla_intersect(scene, jnp.asarray(o), jnp.asarray(d), wf, al, tmin, tmax)
+    tri = make_trisharded_intersect(mesh)
+    h2, t2, i2, _ = jax.jit(
+        lambda s, oo, dd, ww: tri(s, oo, dd, ww, al, tmin, tmax)
+    )(scene, jnp.asarray(o), jnp.asarray(d), wf)
+
+    h1, t1, i1 = map(np.asarray, (h1, t1, i1))
+    h2, t2, i2 = map(np.asarray, (h2, t2, i2))
+    assert (h1 == h2).all()
+    m = h1
+    assert (i1[m] == i2[m]).all()
+    np.testing.assert_allclose(t1[m], t2[m], rtol=1e-6)
