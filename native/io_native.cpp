@@ -1,0 +1,254 @@
+// Native asset-ingest library: OBJ triangle-soup parsing + Radiance RGBE
+// (.hdr) decoding.
+//
+// This is the native-capability counterpart of the reference's host-side
+// asset pipeline — its OBJ loader (reference Mesh.cpp:6-37, line-by-line
+// sscanf) and its stb_image HDR decode (RefractionDemo.cpp:108-140,
+// stbi_loadf) — reimplemented from scratch with the exact semantics the
+// Python definitions in refraction_tpu/io/{objmesh,hdr}.py specify; the two
+// implementations are cross-checked in tests/test_native.py.
+//
+// Exposed via a C ABI consumed with ctypes (refraction_tpu/io/native.py):
+//   rrt_parse_obj(path, *n_tris) -> float[T][24]  (9 pos, 9 norm, 6 uv)
+//   rrt_load_hdr(path, *h, *w)   -> float[H][W][3]
+//   rrt_free(ptr)
+//
+// Build: make -C native      (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// OBJ parsing
+// ---------------------------------------------------------------------------
+
+struct V3 { float x, y, z; };
+struct V2 { float u, v; };
+
+// Parse one "a/b/c" face-corner token into 1-based indices; returns false
+// unless all three fields are present and integral (matches the reference's
+// sscanf("%d/%d/%d") == 9 rule and io/objmesh.py::_parse_face_token).
+bool parse_corner(const char* tok, long* vi, long* ti, long* ni) {
+  char* end = nullptr;
+  long a = strtol(tok, &end, 10);
+  if (end == tok || *end != '/') return false;
+  const char* p = end + 1;
+  long b = strtol(p, &end, 10);
+  if (end == p || *end != '/') return false;
+  p = end + 1;
+  long c = strtol(p, &end, 10);
+  if (end == p || *end != '\0') return false;
+  *vi = a; *ti = b; *ni = c;
+  return true;
+}
+
+float* parse_obj_impl(const char* path, long long* n_tris) {
+  *n_tris = 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+
+  std::vector<V3> locs, norms;
+  std::vector<V2> uvs;
+  std::vector<float> out;  // 24 floats per triangle
+
+  char line[8192];
+  std::vector<char*> toks;
+  while (fgets(line, sizeof line, f)) {
+    toks.clear();
+    for (char* t = strtok(line, " \t\r\n"); t; t = strtok(nullptr, " \t\r\n"))
+      toks.push_back(t);
+    if (toks.empty()) continue;
+    const char* tag = toks[0];
+
+    auto parse_floats = [&](size_t need, float* dst) -> bool {
+      if (toks.size() < need + 1) return false;
+      for (size_t i = 0; i < need; i++) {
+        char* end = nullptr;
+        dst[i] = strtof(toks[i + 1], &end);
+        if (end == toks[i + 1]) return false;
+      }
+      return true;
+    };
+
+    if (!strcmp(tag, "v")) {
+      float p[3];
+      if (parse_floats(3, p)) locs.push_back({p[0], p[1], p[2]});
+    } else if (!strcmp(tag, "vt")) {
+      float p[2];
+      if (parse_floats(2, p)) uvs.push_back({p[0], p[1]});
+    } else if (!strcmp(tag, "vn")) {
+      float p[3];
+      if (parse_floats(3, p)) norms.push_back({p[0], p[1], p[2]});
+    } else if (!strcmp(tag, "f") && toks.size() >= 4) {
+      // First three corners only (sscanf stops after 9 ints -> quads
+      // import as their first triangle; reference Mesh.cpp:21-33).
+      long vi[3], ti[3], ni[3];
+      bool ok = true;
+      for (int i = 0; i < 3 && ok; i++)
+        ok = parse_corner(toks[1 + i], &vi[i], &ti[i], &ni[i]);
+      for (int i = 0; i < 3 && ok; i++)
+        ok = vi[i] >= 1 && (size_t)vi[i] <= locs.size() &&
+             ti[i] >= 1 && (size_t)ti[i] <= uvs.size() &&
+             ni[i] >= 1 && (size_t)ni[i] <= norms.size();
+      if (!ok) continue;
+      size_t base = out.size();
+      out.resize(base + 24);
+      float* tri = out.data() + base;
+      for (int i = 0; i < 3; i++) {
+        const V3& p = locs[vi[i] - 1];
+        tri[3 * i + 0] = p.x; tri[3 * i + 1] = p.y; tri[3 * i + 2] = p.z;
+        const V3& n = norms[ni[i] - 1];
+        tri[9 + 3 * i + 0] = n.x; tri[9 + 3 * i + 1] = n.y; tri[9 + 3 * i + 2] = n.z;
+        const V2& t = uvs[ti[i] - 1];
+        tri[18 + 2 * i + 0] = t.u; tri[18 + 2 * i + 1] = t.v;
+      }
+    }
+  }
+  fclose(f);
+
+  *n_tris = (long long)(out.size() / 24);
+  if (out.empty()) {
+    // Distinguish "no triangles" (valid) from failure: return a 1-byte
+    // allocation the caller frees; n_tris == 0 signals emptiness.
+    return (float*)malloc(1);
+  }
+  float* buf = (float*)malloc(out.size() * sizeof(float));
+  memcpy(buf, out.data(), out.size() * sizeof(float));
+  return buf;
+}
+
+// ---------------------------------------------------------------------------
+// Radiance RGBE decode (semantics of io/hdr.py::decode_hdr_bytes /
+// stb_image's stbi__hdr_convert: rgb = m * 2^(e-136), e==0 -> black)
+// ---------------------------------------------------------------------------
+
+inline void rgbe_to_rgb(const uint8_t px[4], float* dst) {
+  if (px[3] == 0) { dst[0] = dst[1] = dst[2] = 0.f; return; }
+  float scale = ldexpf(1.0f, (int)px[3] - 136);
+  dst[0] = px[0] * scale;
+  dst[1] = px[1] * scale;
+  dst[2] = px[2] * scale;
+}
+
+float* load_hdr_impl(const char* path, long long* hh, long long* ww) {
+  *hh = *ww = 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string data((size_t)sz, '\0');
+  if (fread(&data[0], 1, (size_t)sz, f) != (size_t)sz) { fclose(f); return nullptr; }
+  fclose(f);
+
+  if (data.rfind("#?RADIANCE", 0) != 0 && data.rfind("#?RGBE", 0) != 0)
+    return nullptr;
+
+  // Header: lines to the first empty line, then the resolution line.
+  size_t pos = 0;
+  while (true) {
+    size_t eol = data.find('\n', pos);
+    if (eol == std::string::npos) return nullptr;
+    std::string hline = data.substr(pos, eol - pos);
+    pos = eol + 1;
+    if (hline.empty() || hline == "\r") break;
+  }
+  size_t eol = data.find('\n', pos);
+  if (eol == std::string::npos) return nullptr;
+  std::string res = data.substr(pos, eol - pos);
+  pos = eol + 1;
+  int h = 0, w = 0;
+  if (sscanf(res.c_str(), "-Y %d +X %d", &h, &w) != 2 || h <= 0 || w <= 0)
+    return nullptr;
+
+  const uint8_t* raw = (const uint8_t*)data.data();
+  size_t n = data.size();
+  float* out = (float*)malloc((size_t)h * w * 3 * sizeof(float));
+  if (!out) return nullptr;
+  std::vector<uint8_t> scan((size_t)w * 4);
+
+  int y = 0;
+  while (y < h) {
+    if (pos + 4 > n) { free(out); return nullptr; }
+    uint8_t b0 = raw[pos], b1 = raw[pos + 1], b2 = raw[pos + 2], b3 = raw[pos + 3];
+    int marker_w = (b2 << 8) | b3;
+    if (b0 == 2 && b1 == 2 && marker_w == w && w >= 8 && w < 32768) {
+      pos += 4;  // new-style RLE, 4 component planes
+      for (int c = 0; c < 4; c++) {
+        int x = 0;
+        while (x < w) {
+          if (pos >= n) { free(out); return nullptr; }
+          int count = raw[pos];
+          if (count > 128) {  // run
+            if (pos + 1 >= n) { free(out); return nullptr; }
+            uint8_t val = raw[pos + 1];
+            count -= 128;
+            if (x + count > w) { free(out); return nullptr; }
+            for (int i = 0; i < count; i++) scan[(size_t)(x + i) * 4 + c] = val;
+            pos += 2;
+          } else {            // literals
+            if (pos + 1 + count > (long)n || x + count > w) { free(out); return nullptr; }
+            for (int i = 0; i < count; i++)
+              scan[(size_t)(x + i) * 4 + c] = raw[pos + 1 + i];
+            pos += 1 + count;
+          }
+          x += count;
+        }
+      }
+      for (int x = 0; x < w; x++)
+        rgbe_to_rgb(&scan[(size_t)x * 4], out + ((size_t)y * w + x) * 3);
+      y++;
+    } else {
+      // Flat / old-style RLE with (1,1,1,shift) repeat codes.
+      uint8_t prev[4] = {0, 0, 0, 0};
+      int shift = 0;
+      for (; y < h; y++) {
+        for (int x = 0; x < w;) {
+          if (pos + 4 > n) { free(out); return nullptr; }
+          const uint8_t* px = raw + pos;
+          pos += 4;
+          if (px[0] == 1 && px[1] == 1 && px[2] == 1) {
+            int cnt = (int)px[3] << shift;
+            if (x + cnt > w) { free(out); return nullptr; }
+            for (int i = 0; i < cnt; i++)
+              rgbe_to_rgb(prev, out + ((size_t)y * w + x + i) * 3);
+            x += cnt;
+            shift += 8;
+          } else {
+            memcpy(prev, px, 4);
+            rgbe_to_rgb(prev, out + ((size_t)y * w + x) * 3);
+            x++;
+            shift = 0;
+          }
+        }
+      }
+      break;
+    }
+  }
+  *hh = h;
+  *ww = w;
+  return out;
+}
+
+}  // namespace
+
+extern "C" {
+
+float* rrt_parse_obj(const char* path, long long* n_tris) {
+  return parse_obj_impl(path, n_tris);
+}
+
+float* rrt_load_hdr(const char* path, long long* h, long long* w) {
+  return load_hdr_impl(path, h, w);
+}
+
+void rrt_free(void* p) { free(p); }
+
+}  // extern "C"

@@ -1,0 +1,161 @@
+"""CLI frame driver — the WinMain / drawFrame equivalent (WinMain.cpp:37-59,
+RefractionDemo.cpp:555-612), headless.
+
+The reference opens a window, orbits the camera at 0.01 rad/frame and
+presents vsync-locked with a full CPU<->GPU stall per frame. This driver
+renders the same orbit on TPU with *pipelined* dispatch (frame N+1 is
+enqueued while frame N drains — the async behavior the reference's author
+left as a TODO, RefractionDemo.cpp:520-521), prints per-frame stats, and
+writes PNG frames / a final accumulation instead of presenting.
+
+Examples:
+  python -m refraction_tpu.run --frames 8 --out /tmp/orbit        # demo cfg
+  python -m refraction_tpu.run --scene monkey.obj --width 1920 \
+      --height 1080 --bounces 4 --frames 1 --out /tmp/monkey.png
+  python -m refraction_tpu.run --baseline 3 --frames 1            # BASELINE cfg
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from refraction_tpu.camera import orbit_camera
+from refraction_tpu.config import DEFAULT_ASSET_DIR, RenderConfig, baseline_config
+from refraction_tpu.io.png import write_png
+from refraction_tpu.render import Accumulator, make_renderer
+from refraction_tpu.scene import load_scene, scene_to_device
+from refraction_tpu.utils.stats import FrameStats, log, setup_logging
+
+
+def tonemap(img: np.ndarray) -> np.ndarray:
+    """Display transform: clamp + gamma 2.2 (the reference renders into an
+    8-bit UNORM target, RefractionDemo.cpp:430, i.e. a plain clamp; we add
+    gamma so linear radiance looks right in a PNG viewer)."""
+    return np.clip(np.asarray(img), 0.0, 1.0) ** (1.0 / 2.2)
+
+
+def build_config(args) -> RenderConfig:
+    if args.baseline:
+        cfg = baseline_config(args.baseline)
+    else:
+        cfg = RenderConfig()
+    overrides = {}
+    if args.scene:
+        path = args.scene
+        if not os.path.exists(path):
+            path = os.path.join(DEFAULT_ASSET_DIR, args.scene)
+        overrides["scene_path"] = path
+    if args.envmap:
+        overrides["envmap_path"] = args.envmap
+    if args.width:
+        overrides["width"] = args.width
+    if args.height:
+        overrides["height"] = args.height
+    if args.bounces is not None:
+        overrides["max_refract_depth"] = args.bounces
+    if args.spp:
+        overrides["spp"] = args.spp
+    if args.backend:
+        overrides["backend"] = args.backend
+    if args.ior is not None:
+        overrides["ior"] = args.ior
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--scene", help="OBJ path (or name under the asset dir)")
+    p.add_argument("--envmap", help="HDR/PNG environment map path")
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("--bounces", type=int, help="max refraction depth (ref: 5)")
+    p.add_argument("--spp", type=int, help="supersamples per pixel")
+    p.add_argument("--ior", type=float, help="index of refraction (ref: 1.3)")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas"])
+    p.add_argument("--baseline", type=int, choices=[1, 2, 3, 4, 5],
+                   help="start from a BASELINE.json staged config")
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--angle", type=float, default=0.01,
+                   help="initial orbit angle (ref: 0.01)")
+    p.add_argument("--out", default="frame.png",
+                   help="output PNG path, or a directory/prefix for --frames>1")
+    p.add_argument("--accumulate", action="store_true",
+                   help="average all frames into one image (progressive mode)")
+    p.add_argument("--resume", help="resume an --accumulate render from a .npz")
+    p.add_argument("--raw", action="store_true", help="also save linear .npy")
+    args = p.parse_args(argv)
+
+    setup_logging()
+    cfg = build_config(args)
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+
+    log.info("scene=%s envmap=%s %dx%d bounces=%d spp=%d backend=%s device=%s",
+             cfg.scene_path, cfg.envmap_path, cfg.width, cfg.height,
+             cfg.max_refract_depth, cfg.spp, cfg.backend, jax.devices()[0])
+
+    scene, meta = load_scene(cfg)
+    log.info("tris=%d (padded %d), clusters=%d, envmap=%s",
+             meta.num_real_tris, meta.num_padded_tris,
+             scene.num_clusters, scene.envmap.shape)
+    scene = scene_to_device(scene)
+    renderer = make_renderer(cfg)
+
+    acc = None
+    if args.accumulate:
+        acc = Accumulator.load(args.resume) if args.resume else Accumulator(
+            cfg.height, cfg.width)
+
+    stats = FrameStats()
+    angle = args.angle
+    pending = None  # (device_image, frame_index) — pipelined previous frame
+
+    def drain(entry):
+        img_dev, idx = entry
+        host = np.asarray(img_dev)
+        if acc is not None:
+            acc.add(host)
+        elif args.frames > 1:
+            base, ext = os.path.splitext(args.out)
+            write_png(f"{base}_{idx:04d}{ext or '.png'}", tonemap(host))
+        return host
+
+    host_img = None
+    for i in range(args.frames):
+        stats.start()
+        img = renderer(scene, orbit_camera(angle, cfg))
+        if pending is not None:
+            host_img = drain(pending)     # overlap: drain N-1 while N runs
+        pending = (img, i)
+        img.block_until_ready()
+        stats.stop()
+        if i % 10 == 0 or i == args.frames - 1:
+            log.info("%s", stats.line())
+        angle += cfg.orbit_speed        # RefractionDemo.cpp:567
+
+    host_img = drain(pending)
+
+    final = acc.image if acc is not None else host_img
+    if acc is not None and args.frames > 1:
+        log.info("accumulated %d frames", acc.count)
+        acc.save(os.path.splitext(args.out)[0] + "_state.npz")
+    if args.frames == 1 or acc is not None:
+        write_png(args.out if args.out.endswith(".png") else args.out + ".png",
+                  tonemap(final))
+    if args.raw:
+        np.save(os.path.splitext(args.out)[0] + ".npy", final)
+    log.info("done: %d frames, %.2f fps avg -> %s", stats.frames, stats.fps,
+             args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
