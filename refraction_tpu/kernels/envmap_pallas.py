@@ -37,23 +37,57 @@ from refraction_tpu.scene import Scene
 from refraction_tpu.utils.fastmath import acos, atan2
 
 BLOCK_RAYS = 1024
+GROUP = 8  # tiles per grid program
 _SUB = 8
 _LANE = 128
 
 
+def _roll_min(v):
+    for s in (64, 32, 16, 8, 4, 2, 1):
+        v = jnp.minimum(v, pltpu.roll(v, s, axis=1))
+    for s in (4, 2, 1):
+        v = jnp.minimum(v, pltpu.roll(v, s, axis=0))
+    return v[0, 0]
+
+
+def _roll_max(v):
+    for s in (64, 32, 16, 8, 4, 2, 1):
+        v = jnp.maximum(v, pltpu.roll(v, s, axis=1))
+    for s in (4, 2, 1):
+        v = jnp.maximum(v, pltpu.roll(v, s, axis=0))
+    return v[0, 0]
+
+
 def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
                 height: int, width: int, rows_per_chan: int):
+    def tile(g, _):
+        rows = pl.ds(g * _SUB, _SUB)
+        _env_tile(
+            dx[rows, :], dy[rows, :], dz[rows, :], w[rows, :], env_ref,
+            lambda v: out_r.__setitem__((rows, slice(None)), v),
+            lambda v: out_g.__setitem__((rows, slice(None)), v),
+            lambda v: out_b.__setitem__((rows, slice(None)), v),
+            height, width, rows_per_chan,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, tile, 0)
+
+
+def _env_tile(x, y, z, wgt, env_ref, put_r, put_g, put_b,
+              height: int, width: int, rows_per_chan: int):
     zero = jnp.zeros((_SUB, _LANE), jnp.float32)
-    out_r[:] = zero
-    out_g[:] = zero
-    out_b[:] = zero
-
-    wgt = w[:]
     alive = wgt > 0.0
+    # Cheap any(): roll-max of the weight (scalar reductions are the
+    # per-tile cost floor on TPU; roll trees are plain vector ops).
+    any_alive = _roll_max(wgt) > 0.0
 
-    @pl.when(jnp.any(alive))
+    put_r(zero)
+    put_g(zero)
+    put_b(zero)
+
+    @pl.when(any_alive)
     def _():
-        x, y, z = dx[:], dy[:], dz[:]
         pi = jnp.float32(REF_PI_ENVMAP)
         theta = width * (atan2(x, z) / pi + 1.0) / 2.0
         phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
@@ -64,8 +98,8 @@ def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
         r = f % _LANE
 
         big = jnp.int32(2 ** 30)
-        q_lo = jnp.min(jnp.where(alive, q, big))
-        q_hi = jnp.max(jnp.where(alive, q, -1))
+        q_lo = _roll_min(jnp.where(alive, q, big))
+        q_hi = _roll_max(jnp.where(alive, q, -1))
         g0 = (q_lo // _SUB) * _SUB
         n_groups = q_hi // _SUB - q_lo // _SUB + 1
 
@@ -95,9 +129,9 @@ def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
         acc_r, acc_g, acc_b = jax.lax.fori_loop(
             0, n_groups, group, (zero, zero, zero)
         )
-        out_r[:] = wgt * acc_r
-        out_g[:] = wgt * acc_g
-        out_b[:] = wgt * acc_b
+        put_r(wgt * acc_r)
+        put_g(wgt * acc_g)
+        put_b(wgt * acc_b)
 
 
 def _pad(x, n_pad, fill=0.0):
@@ -113,10 +147,10 @@ def _pad(x, n_pad, fill=0.0):
 def _env_call(env_flat, dirs, weight, height, width, interpret=False):
     n = dirs.shape[0]
     rows = n // _LANE
-    grid = n // BLOCK_RAYS
+    grid = n // (BLOCK_RAYS * GROUP)
     rows_per_chan = env_flat.shape[0] // 3
 
-    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((_SUB * GROUP, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     f32_out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
 
@@ -147,7 +181,8 @@ def pallas_env_contribution(scene: Scene, dirs, weight,
     weight must already be zero on non-miss / dead lanes.
     """
     n = dirs.shape[0]
-    n_pad = ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS
+    chunk = BLOCK_RAYS * GROUP
+    n_pad = ((n + chunk - 1) // chunk) * chunk
     d = _pad(dirs.astype(jnp.float32), n_pad, fill=1.0)
     w = _pad(weight.astype(jnp.float32), n_pad, fill=0.0)
     h, wid = scene.envmap.shape[0], scene.envmap.shape[1]

@@ -2,22 +2,30 @@
 
 Design (TPU-first, not a BVH translation — SURVEY.md 7 "hard parts"):
 
-- Rays are processed in blocks of 1024 as (8, 128) VMEM tiles (sublane x
-  lane), one grid program per block. All Möller–Trumbore math is dense
-  float32 VPU work over the whole tile.
-- Triangles arrive Morton-sorted in equal-size *clusters* (scene.py). The
-  per-cluster AABBs live in SMEM; for each cluster the kernel slab-tests
-  every ray in the block and skips the cluster's triangles entirely
-  (`@pl.when`) when no live ray can hit it. With spatially coherent ray
-  blocks this is the TPU-native analogue of BVH traversal: data-dependent
-  work skipping with fully static shapes and zero divergence cost.
-- Within a visited cluster, triangles are iterated one at a time; the 9
-  triangle scalars are read from SMEM and broadcast to the tile — scalar
-  loads pipeline with vector work on the scalar core.
+- Rays are processed in 1024-ray (8, 128) VMEM tiles (the render layer
+  maps each tile to a 32x32 image square so its frustum is tight); GROUP
+  tiles share one grid program to amortize per-program overhead. All
+  Möller–Trumbore math is dense float32 VPU work over the whole tile.
+- Triangles arrive Morton-sorted in equal-size *clusters* with a fine
+  level of 8-triangle *subclusters* (scene.py); both levels' AABBs live
+  in SMEM. Gating is bitmasked: per-lane overlap flags for 16 boxes pack
+  into one int32 tile that is OR-reduced across lanes with a ~10-op
+  pltpu.roll tree, and `@pl.when` skips unvisited boxes on scalar bit
+  tests. (Naive per-box jnp.any() reductions cost ~100s of cycles each
+  on the scalar unit and were the per-tile floor; a near-to-far ordered
+  variant with early termination benchmarked 4x slower still — the
+  per-visit while_loop serialized the pipeline.) This is the TPU-native
+  analogue of BVH traversal: data-dependent work skipping with fully
+  static shapes and zero divergence cost.
+- Within a visited subcluster, triangles are iterated one at a time; the
+  9+9 triangle/normal scalars are read from SMEM and broadcast to the
+  tile — scalar loads pipeline with vector work on the scalar core. The
+  winning triangle's interpolated shading normal is tracked in-kernel so
+  the integrator never pays a per-ray table gather.
 - Dead lanes are encoded in the cull operand: cull = +1 (want front hits,
   det > 0), -1 (want back hits), 0 (dead) — `det * cull > 0` rejects dead
-  lanes for free, and fully dead blocks fail every cluster test, reducing
-  late wavefront rounds to a cheap C-iteration AABB scan.
+  lanes for free, and fully dead tiles fail every gate, reducing late
+  wavefront rounds to a cheap AABB bitmask scan.
 
 Acceptance rules match ops/intersect.py exactly (same formulas, strict
 `t < best` update preserves lowest-index tie-breaking since clusters and
@@ -35,15 +43,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.scene import Scene
 
-BLOCK_RAYS = 1024  # (8, 128) tile
+BLOCK_RAYS = 1024  # one (8, 128) tile = the skip granularity
+GROUP = 8          # tiles processed per grid program (amortizes per-program
+                   # grid overhead, which dominated at 1-tile programs)
 _SUB = 8
 _LANE = 128
 BIG = 3.0e38  # python float: becomes an inline literal inside the kernel
 
 
-def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, ox, oy, oz, dx, dy, dz,
-            cull, t_out, i_out, nx_out, ny_out, nz_out,
-            best_t, best_i, best_nx, best_ny, best_nz, cluster_size: int):
+def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, ox, oy, oz,
+            dx, dy, dz, cull, t_out, i_out, nx_out, ny_out, nz_out,
+            best_t, best_i, best_nx, best_ny, best_nz,
+            cluster_size: int):
     tmin = limits_sm[0]
     tmax = limits_sm[1]
     # SMEM tables are FLAT 1D: SMEM pads the last dim of 2D arrays to 128
@@ -51,9 +62,30 @@ def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, ox, oy, oz, dx, dy, dz,
     # vs the 1 MB SMEM budget). Flat layout: tri i component c at [9i+c].
     num_clusters = cluster_sm.shape[0] // 6
 
-    o_x, o_y, o_z = ox[:], oy[:], oz[:]
-    d_x, d_y, d_z = dx[:], dy[:], dz[:]
-    cu = cull[:]
+    def tile_work(g, _):
+        rows = pl.ds(g * _SUB, _SUB)
+        _tile_kernel(
+            tmin, tmax, num_clusters, cluster_size,
+            tri_sm, norm_sm, cluster_sm, subs_sm,
+            ox[rows, :], oy[rows, :], oz[rows, :],
+            dx[rows, :], dy[rows, :], dz[rows, :], cull[rows, :],
+            lambda v: t_out.__setitem__((rows, slice(None)), v),
+            lambda v: i_out.__setitem__((rows, slice(None)), v),
+            lambda v: nx_out.__setitem__((rows, slice(None)), v),
+            lambda v: ny_out.__setitem__((rows, slice(None)), v),
+            lambda v: nz_out.__setitem__((rows, slice(None)), v),
+            best_t, best_i, best_nx, best_ny, best_nz,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, tile_work, 0)
+
+
+def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
+                 tri_sm, norm_sm, cluster_sm, subs_sm,
+                 o_x, o_y, o_z, d_x, d_y, d_z, cu,
+                 put_t, put_i, put_nx, put_ny, put_nz,
+                 best_t, best_i, best_nx, best_ny, best_nz):
     alive = cu != 0.0
 
     best_t[:] = jnp.full((_SUB, _LANE), jnp.float32(BIG))
@@ -72,15 +104,14 @@ def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, ox, oy, oz, dx, dy, dz,
 
     inv_x, inv_y, inv_z = safe_inv(d_x), safe_inv(d_y), safe_inv(d_z)
 
-    def cluster_body(ci, _):
-        cb = ci * 6
-        lo0 = cluster_sm[cb + 0]
-        lo1 = cluster_sm[cb + 1]
-        lo2 = cluster_sm[cb + 2]
-        hi0 = cluster_sm[cb + 3]
-        hi1 = cluster_sm[cb + 4]
-        hi2 = cluster_sm[cb + 5]
-
+    def slab_mask_entry(bounds_sm, base):
+        """Per-lane conservative ray-vs-AABB overlap + entry t (no reductions)."""
+        lo0 = bounds_sm[base + 0]
+        lo1 = bounds_sm[base + 1]
+        lo2 = bounds_sm[base + 2]
+        hi0 = bounds_sm[base + 3]
+        hi1 = bounds_sm[base + 4]
+        hi2 = bounds_sm[base + 5]
         ax_ = (lo0 - o_x) * inv_x
         bx_ = (hi0 - o_x) * inv_x
         ay_ = (lo1 - o_y) * inv_y
@@ -93,91 +124,160 @@ def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, ox, oy, oz, dx, dy, dz,
         )
         leave = jnp.minimum(
             jnp.minimum(jnp.maximum(ax_, bx_), jnp.maximum(ay_, by_)),
-            jnp.minimum(jnp.maximum(az_, bz_), jnp.minimum(tmax, best_t[:])),
+            jnp.minimum(jnp.maximum(az_, bz_), tmax),
         )
-        m = (enter <= leave) & alive
-        any_hit = jnp.any(m)
+        return (enter <= leave) & alive, enter
 
-        @pl.when(any_hit)
-        def _():
-            def tri_body(k, _):
-                ti = ci * cluster_size + k
-                tb = ti * 9
-                a0 = tri_sm[tb + 0]
-                a1 = tri_sm[tb + 1]
-                a2 = tri_sm[tb + 2]
-                e10 = tri_sm[tb + 3]
-                e11 = tri_sm[tb + 4]
-                e12 = tri_sm[tb + 5]
-                e20 = tri_sm[tb + 6]
-                e21 = tri_sm[tb + 7]
-                e22 = tri_sm[tb + 8]
+    def slab_mask(bounds_sm, base):
+        return slab_mask_entry(bounds_sm, base)[0]
 
-                # pvec = cross(D, e2)
-                px = d_y * e22 - d_z * e21
-                py = d_z * e20 - d_x * e22
-                pz = d_x * e21 - d_y * e20
-                det = e10 * px + e11 * py + e12 * pz
-                # det * cull > 0 enforces facing AND kills dead lanes.
-                accept = det * cu > 0.0
+    def roll_reduce(v, combine):
+        """Reduce an (8,128) tile to a scalar with ~10 vector ops (roll
+        tree) instead of a scalar-unit reduction."""
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            v = combine(v, pltpu.roll(v, s, axis=1))
+        for s in (4, 2, 1):
+            v = combine(v, pltpu.roll(v, s, axis=0))
+        return v[0, 0]
 
-                tvx = o_x - a0
-                tvy = o_y - a1
-                tvz = o_z - a2
-                u_num = tvx * px + tvy * py + tvz * pz
-                # qvec = cross(tvec, e1)
-                qx = tvy * e12 - tvz * e11
-                qy = tvz * e10 - tvx * e12
-                qz = tvx * e11 - tvy * e10
-                v_num = d_x * qx + d_y * qy + d_z * qz
-                t_num = e20 * qx + e21 * qy + e22 * qz
+    def or_reduce_scalar(bits):
+        """Bitwise-OR a (8,128) int32 tile to one scalar via a roll tree —
+        replaces per-cluster jnp.any() reductions, whose scalar-unit cost
+        (~100s of cycles each) was the kernel's per-tile floor."""
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            bits = bits | pltpu.roll(bits, s, axis=1)
+        for s in (4, 2, 1):
+            bits = bits | pltpu.roll(bits, s, axis=0)
+        return bits[0, 0]
 
-                inv_det = 1.0 / jnp.where(det == 0.0, jnp.float32(1.0), det)
-                u = u_num * inv_det
-                v = v_num * inv_det
-                t = t_num * inv_det
+    _GROUP_BITS = 16  # AABBs gated per bitmask reduction
 
-                cond = (
-                    accept
-                    & (det != 0.0)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t >= tmin)
-                    & (t <= tmax)
+    def gated_loop(bounds_sm, start, count, visit):
+        """For i in [start, start+count): visit(i) iff any live lane
+        overlaps AABB i. ``count`` is static; ``start`` may be traced.
+
+        Overlap flags for groups of 16 AABBs are packed into per-lane
+        bitmasks and OR-reduced across the tile once per group — one
+        reduction per 16 boxes instead of a ~100-cycle scalar reduction
+        per box."""
+        n_groups = (count + _GROUP_BITS - 1) // _GROUP_BITS
+        tail = count - (n_groups - 1) * _GROUP_BITS
+
+        def group_body(g, _):
+            rel0 = g * _GROUP_BITS
+            bits = jnp.zeros((_SUB, _LANE), jnp.int32)
+            for b in range(min(_GROUP_BITS, count)):
+                rel = rel0 + b
+                idx = start + jnp.minimum(rel, count - 1)
+                m = slab_mask(bounds_sm, idx * 6)
+                in_range = rel < count
+                bits = bits | jnp.where(
+                    m & in_range, jnp.int32(1 << b), jnp.int32(0)
                 )
-                upd = cond & (t < best_t[:])
-                best_t[:] = jnp.where(upd, t, best_t[:])
-                best_i[:] = jnp.where(upd, ti, best_i[:])
+            word = or_reduce_scalar(bits)
 
-                # Interpolated (unnormalized) shading normal of the winning
-                # triangle (RayTracing.hlsl:83-86), tracked in-kernel so the
-                # integrator never needs a per-ray table gather (XLA TPU
-                # gathers at wavefront widths cost ~60 ms each).
-                na0 = norm_sm[tb + 0]
-                na1 = norm_sm[tb + 1]
-                na2 = norm_sm[tb + 2]
-                nb0 = norm_sm[tb + 3]
-                nb1 = norm_sm[tb + 4]
-                nb2 = norm_sm[tb + 5]
-                nc0 = norm_sm[tb + 6]
-                nc1 = norm_sm[tb + 7]
-                nc2 = norm_sm[tb + 8]
-                best_nx[:] = jnp.where(upd, na0 + u * nb0 + v * nc0, best_nx[:])
-                best_ny[:] = jnp.where(upd, na1 + u * nb1 + v * nc1, best_ny[:])
-                best_nz[:] = jnp.where(upd, na2 + u * nb2 + v * nc2, best_nz[:])
-                return 0
+            @pl.when(word != 0)
+            def _():
+                def bit_body(b, _):
+                    @pl.when((word >> b) & 1 != 0)
+                    def _():
+                        visit(start + rel0 + b)
 
-            jax.lax.fori_loop(0, cluster_size, tri_body, 0)
+                    return 0
 
+                jax.lax.fori_loop(0, min(_GROUP_BITS, count), bit_body, 0)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, group_body, 0)
+
+    subs_per_cluster = cluster_size // 8
+
+    def tri_body(ti, _):
+        tb = ti * 9
+        a0 = tri_sm[tb + 0]
+        a1 = tri_sm[tb + 1]
+        a2 = tri_sm[tb + 2]
+        e10 = tri_sm[tb + 3]
+        e11 = tri_sm[tb + 4]
+        e12 = tri_sm[tb + 5]
+        e20 = tri_sm[tb + 6]
+        e21 = tri_sm[tb + 7]
+        e22 = tri_sm[tb + 8]
+
+        # pvec = cross(D, e2)
+        px = d_y * e22 - d_z * e21
+        py = d_z * e20 - d_x * e22
+        pz = d_x * e21 - d_y * e20
+        det = e10 * px + e11 * py + e12 * pz
+        # det * cull > 0 enforces facing AND kills dead lanes.
+        accept = det * cu > 0.0
+
+        tvx = o_x - a0
+        tvy = o_y - a1
+        tvz = o_z - a2
+        u_num = tvx * px + tvy * py + tvz * pz
+        # qvec = cross(tvec, e1)
+        qx = tvy * e12 - tvz * e11
+        qy = tvz * e10 - tvx * e12
+        qz = tvx * e11 - tvy * e10
+        v_num = d_x * qx + d_y * qy + d_z * qz
+        t_num = e20 * qx + e21 * qy + e22 * qz
+
+        inv_det = 1.0 / jnp.where(det == 0.0, jnp.float32(1.0), det)
+        u = u_num * inv_det
+        v = v_num * inv_det
+        t = t_num * inv_det
+
+        cond = (
+            accept
+            & (det != 0.0)
+            & (u >= 0.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (t >= tmin)
+            & (t <= tmax)
+        )
+        upd = cond & (t < best_t[:])
+        best_t[:] = jnp.where(upd, t, best_t[:])
+        best_i[:] = jnp.where(upd, ti, best_i[:])
+
+        # Interpolated (unnormalized) shading normal of the winning
+        # triangle (RayTracing.hlsl:83-86), tracked in-kernel so the
+        # integrator never needs a per-ray table gather (XLA TPU
+        # gathers at wavefront widths cost ~60 ms each).
+        na0 = norm_sm[tb + 0]
+        na1 = norm_sm[tb + 1]
+        na2 = norm_sm[tb + 2]
+        nb0 = norm_sm[tb + 3]
+        nb1 = norm_sm[tb + 4]
+        nb2 = norm_sm[tb + 5]
+        nc0 = norm_sm[tb + 6]
+        nc1 = norm_sm[tb + 7]
+        nc2 = norm_sm[tb + 8]
+        best_nx[:] = jnp.where(upd, na0 + u * nb0 + v * nc0, best_nx[:])
+        best_ny[:] = jnp.where(upd, na1 + u * nb1 + v * nc1, best_ny[:])
+        best_nz[:] = jnp.where(upd, na2 + u * nb2 + v * nc2, best_nz[:])
         return 0
 
-    jax.lax.fori_loop(0, num_clusters, cluster_body, 0)
-    t_out[:] = best_t[:]
-    i_out[:] = best_i[:]
-    nx_out[:] = best_nx[:]
-    ny_out[:] = best_ny[:]
-    nz_out[:] = best_nz[:]
+    def visit_sub(si):
+        jax.lax.fori_loop(0, 8, lambda k, c: tri_body(si * 8 + k, c), 0)
+
+    def visit_cluster(ci):
+        # Fine level: bitmask-gated 8-tri subclusters within the cluster.
+        gated_loop(subs_sm, ci * subs_per_cluster, subs_per_cluster,
+                   visit_sub)
+
+    # Coarse level: bitmask-gated clusters in Morton order. (A near-to-far
+    # ordered variant with early termination was tried and benchmarked 4x
+    # SLOWER: the per-visit while_loop + scalar argmin serialized the
+    # pipeline. Morton order + bitmask gates keeps the VPU saturated.)
+    gated_loop(cluster_sm, jnp.int32(0), num_clusters, visit_cluster)
+    put_t(best_t[:])
+    put_i(best_i[:])
+    put_nx(best_nx[:])
+    put_ny(best_ny[:])
+    put_nz(best_nz[:])
 
 
 def _pad_rays(x, n_pad):
@@ -188,18 +288,19 @@ def _pad_rays(x, n_pad):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, origins,
-                    dirs, cull, limits, interpret=False):
-    n = origins.shape[0]  # already padded to BLOCK_RAYS multiple
+def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
+                    origins, dirs, cull, limits, interpret=False):
+    n = origins.shape[0]  # already padded to BLOCK_RAYS * GROUP multiple
     rows = n // _LANE
-    grid = n // BLOCK_RAYS
+    grid = n // (BLOCK_RAYS * GROUP)
 
     def comp(x, i):
         return x[:, i].reshape(rows, _LANE)
 
-    ray_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+    block_rows = _SUB * GROUP
+    ray_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_SUB, _LANE), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     f32_out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
     t, idx, nx, ny, nz = pl.pallas_call(
@@ -210,6 +311,7 @@ def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, origins,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tris flat (9T,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri normals flat (9T,)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat (6C,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # subclusters flat (6T/8,)
             ray_spec, ray_spec, ray_spec,            # origin xyz
             ray_spec, ray_spec, ray_spec,            # dir xyz
             ray_spec,                                # cull
@@ -231,6 +333,7 @@ def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, origins,
     )(
         limits.reshape(-1), tri_packed.reshape(-1),
         tri_norm_packed.reshape(-1), cluster_bounds.reshape(-1),
+        sub_bounds.reshape(-1),
         comp(origins, 0), comp(origins, 1), comp(origins, 2),
         comp(dirs, 0), comp(dirs, 1), comp(dirs, 2),
         cull.reshape(rows, _LANE),
@@ -248,7 +351,8 @@ def pallas_intersect(scene: Scene, origins, dirs, want_front, alive,
     (garbage on non-hit lanes — mask before use).
     """
     n = origins.shape[0]
-    n_pad = ((n + BLOCK_RAYS - 1) // BLOCK_RAYS) * BLOCK_RAYS
+    chunk = BLOCK_RAYS * GROUP
+    n_pad = ((n + chunk - 1) // chunk) * chunk
 
     cull = jnp.where(
         alive, jnp.where(want_front, jnp.float32(1.0), jnp.float32(-1.0)),
@@ -261,7 +365,7 @@ def pallas_intersect(scene: Scene, origins, dirs, want_front, alive,
 
     t, idx, nx, ny, nz = _pallas_closest(
         scene.tri_packed, scene.tri_norm_packed, scene.cluster_bounds,
-        o, d, cull, limits, interpret=interpret,
+        scene.sub_bounds, o, d, cull, limits, interpret=interpret,
     )
     t = t[:n]
     idx = idx[:n]

@@ -24,19 +24,20 @@ from refraction_tpu.ops.backends import get_backend
 from refraction_tpu.scene import Scene
 
 
-TILE_H = 8
-TILE_W = 128
+TILE_H = 32
+TILE_W = 32
 
 
 def tile_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Permute flat row-major pixel data (N, ...) into (8, 128)-patch order.
+    """Permute flat row-major pixel data (N, ...) into 32x32-tile order.
 
-    Each 1024-ray kernel block then covers an 8x128 *image patch* instead
-    of half a scanline: alive lanes (object pixels) concentrate into fewer
-    blocks and every block's rays span a narrow angular window, which is
-    what the cluster-skip and envmap-window kernels key on. Pure
-    reshape/transpose — no gather. Requires height % 8 == width % 128 == 0
-    (render pads first).
+    Each 1024-ray kernel block then covers a square *image tile* instead of
+    half a scanline: alive lanes (object pixels) concentrate into fewer
+    blocks and every block's rays span the tightest possible angular
+    window, which is what the cluster-skip and envmap-window kernels key
+    on (square beats an 8x128 sliver: same area, ~4x smaller frustum
+    diameter). Pure reshape/transpose — no gather. Requires height and
+    width divisible by the tile dims (render pads first).
     """
     rest = x.shape[1:]
     x = x.reshape(height // TILE_H, TILE_H, width // TILE_W, TILE_W, *rest)

@@ -41,6 +41,7 @@ class Scene(NamedTuple):
     cluster_lo: np.ndarray   # (C, 3) cluster AABB min
     cluster_hi: np.ndarray   # (C, 3) cluster AABB max
     cluster_bounds: np.ndarray  # (C, 6) [lo | hi] rows (kernel layout)
+    sub_bounds: np.ndarray      # (T/8, 6) fine 8-tri subcluster AABBs
     envmap: np.ndarray       # (H, W, 3) float32 equirect environment
     env_packed: np.ndarray   # (3, R, 128) float32: flattened H*W texels per
                              # channel, 128 per row (envmap kernel layout)
@@ -97,6 +98,7 @@ def build_scene(
         norm = np.concatenate([norm, pad_norm])
 
     lo, hi = build_clusters(pos, cluster_size)
+    sub_lo, sub_hi = build_clusters(pos, 8)
     tri_a = np.ascontiguousarray(pos[:, 0])
     tri_e1 = np.ascontiguousarray(pos[:, 1] - pos[:, 0])
     tri_e2 = np.ascontiguousarray(pos[:, 2] - pos[:, 0])
@@ -127,6 +129,7 @@ def build_scene(
         cluster_lo=lo,
         cluster_hi=hi,
         cluster_bounds=np.ascontiguousarray(np.concatenate([lo, hi], axis=1)),
+        sub_bounds=np.ascontiguousarray(np.concatenate([sub_lo, sub_hi], axis=1)),
         envmap=envmap,
         env_packed=env_packed,
     )
