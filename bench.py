@@ -68,10 +68,18 @@ def main():
             )
             return tile_order(x.reshape(-1, 3), h_pad, w_pad)
 
-        radiance, stats = render_pixels(
-            scene, pad_tile(o), pad_tile(d), cfg,
-            backend.intersect, backend.env_contribution, collect_stats=True,
-        )
+        if backend.name == "pallas":
+            from refraction_tpu.integrator import render_pixels_mega
+
+            radiance, stats = render_pixels_mega(
+                scene, pad_tile(o), pad_tile(d), cfg, collect_stats=True,
+            )
+        else:
+            radiance, stats = render_pixels(
+                scene, pad_tile(o), pad_tile(d), cfg,
+                backend.intersect, backend.env_contribution,
+                collect_stats=True,
+            )
         img = untile_order(radiance, h_pad, w_pad).reshape(h_pad, w_pad, 3)
         return img[:cfg.height, :cfg.width], stats["rays_traced"]
 

@@ -168,3 +168,109 @@ def render_pixels(
     if collect_stats:
         return radiance, {"rays_traced": rays_traced, "slot_rounds": slot_rounds}
     return radiance
+
+
+def render_pixels_mega(
+    scene: Scene,
+    origins: jnp.ndarray,
+    dirs: jnp.ndarray,
+    cfg: RenderConfig,
+    interpret: bool = False,
+    collect_stats: bool = False,
+):
+    """Fused-megakernel wavefront (kernels/megakernel.py): same semantics
+    as `render_pixels`, but each bounce round is ONE Pallas call and the
+    ray state stays in SoA (rows, 128) tile layout throughout."""
+    from refraction_tpu.kernels.megakernel import GROUP, _SUB, mega_round
+
+    n = origins.shape[0]
+    assert n % (_SUB * 128) == 0, n  # caller pads to whole 1024-ray tiles
+    rows = n // 128
+    f32 = jnp.float32
+
+    def comp(x, i):
+        return x[:, i].astype(f32).reshape(rows, 128)
+
+    state = {
+        "ox": comp(origins, 0), "oy": comp(origins, 1), "oz": comp(origins, 2),
+        "dx": comp(dirs, 0), "dy": comp(dirs, 1), "dz": comp(dirs, 2),
+        "cull": jnp.ones((rows, 128), f32),   # +1: outside, alive
+        "wgt": jnp.ones((rows, 128), f32),
+    }
+    radiance = jnp.zeros((n, 3), f32)
+    rays_traced = jnp.zeros((), jnp.int32)
+    slot_rounds = 0
+
+    env_h, env_w = scene.envmap.shape[0], scene.envmap.shape[1]
+    env_flat = scene.env_packed.reshape(-1, 128)
+
+    chunk_rows = _SUB * GROUP
+
+    def padded(x, target_rows):
+        pad = target_rows - x.shape[0]
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad, 128), x.dtype)])
+        return x
+
+    for count in range(cfg.max_refract_depth + 1):
+        cur_rows = state["ox"].shape[0]
+        if collect_stats:
+            rays_traced = rays_traced + jnp.sum(
+                (state["cull"] != 0).astype(jnp.int32))
+            slot_rounds += cur_rows * 128
+        tmin = cfg.primary_tmin if count == 0 else cfg.secondary_tmin
+        tmax = cfg.primary_tmax if count == 0 else cfg.secondary_tmax
+        limits = jnp.asarray(
+            [tmin, tmax, cfg.ior, cfg.fresnel_r0], jnp.float32)
+        want_reflect = (count < cfg.max_reflect_depth
+                        and count < cfg.max_refract_depth)
+
+        pad_rows = ((cur_rows + chunk_rows - 1) // chunk_rows) * chunk_rows
+        args = [padded(state[k], pad_rows)
+                for k in ("ox", "oy", "oz", "dx", "dy", "dz", "cull", "wgt")]
+        res = mega_round(
+            scene.tri_packed, scene.tri_norm_packed, scene.cluster_bounds,
+            scene.sub_bounds, env_flat, limits, *args,
+            env_h=env_h, env_w=env_w, want_reflect=want_reflect,
+            interpret=interpret,
+        )
+        res = [r[:cur_rows] for r in res]
+        rad = jnp.stack(
+            [res[0].reshape(-1), res[1].reshape(-1), res[2].reshape(-1)],
+            axis=-1,
+        )
+        radiance = radiance + rad.reshape(-1, n, 3).sum(axis=0)
+
+        if count == cfg.max_refract_depth:
+            break
+        hx, hy, hz = res[3], res[4], res[5]
+        fxd, fyd, fzd, f_cull, f_wgt = res[6], res[7], res[8], res[9], res[10]
+        new = {
+            "ox": hx, "oy": hy, "oz": hz,
+            "dx": fxd, "dy": fyd, "dz": fzd,
+            "cull": f_cull, "wgt": f_wgt,
+        }
+        if want_reflect:
+            lxd, lyd, lzd, l_wgt = res[11], res[12], res[13], res[14]
+            # Reflection child keeps the parent's side: cull sign copies
+            # from -f_cull where refraction lived, else from... the parent
+            # cull is still in state["cull"]; reuse it gated by hit
+            # (hit <=> l_wgt slot written with weight*R, possibly 0.0 —
+            # use the kernel's f_cull? No: reflection spawns on EVERY hit).
+            refl_cull = jnp.where(l_wgt > 0.0, state["cull"], 0.0)
+            new = {
+                "ox": jnp.concatenate([new["ox"], hx]),
+                "oy": jnp.concatenate([new["oy"], hy]),
+                "oz": jnp.concatenate([new["oz"], hz]),
+                "dx": jnp.concatenate([new["dx"], lxd]),
+                "dy": jnp.concatenate([new["dy"], lyd]),
+                "dz": jnp.concatenate([new["dz"], lzd]),
+                "cull": jnp.concatenate([new["cull"], refl_cull]),
+                "wgt": jnp.concatenate([new["wgt"], l_wgt]),
+            }
+        state = new
+
+    if collect_stats:
+        return radiance, {"rays_traced": rays_traced,
+                          "slot_rounds": slot_rounds}
+    return radiance

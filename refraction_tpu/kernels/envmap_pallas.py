@@ -74,6 +74,56 @@ def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
     jax.lax.fori_loop(0, GROUP, tile, 0)
 
 
+def env_window_tile(x, y, z, alive, env_ref,
+                    height: int, width: int, rows_per_chan: int):
+    """Equirect texel lookup for one (8,128) tile of directions.
+
+    Returns (r, g, b) tiles — zeros where not alive. Caller is responsible
+    for the any-alive gate and weighting. ``env_ref`` is the (3R, 128)
+    flat-packed map in VMEM. Shared by the standalone env kernel and the
+    wavefront megakernel."""
+    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+    pi = jnp.float32(REF_PI_ENVMAP)
+    theta = width * (atan2(x, z) / pi + 1.0) / 2.0
+    phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
+    ix = jnp.clip(theta.astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(phi.astype(jnp.int32), 0, height - 1)
+    f = iy * width + ix
+    q = f // _LANE
+    r = f % _LANE
+
+    big = jnp.int32(2 ** 30)
+    q_lo = _roll_min(jnp.where(alive, q, big))
+    q_hi = _roll_max(jnp.where(alive, q, -1))
+    g0 = (q_lo // _SUB) * _SUB
+    n_groups = q_hi // _SUB - q_lo // _SUB + 1
+
+    def group(i, accs):
+        acc_r, acc_g, acc_b = accs
+        base = g0 + i * _SUB
+        brow = q - base
+        tiles = [
+            env_ref[pl.ds(c * rows_per_chan + base, _SUB), :]
+            for c in range(3)
+        ]
+        for j in range(_SUB):
+            mj = alive & (brow == j)
+            for c, (tile, acc) in enumerate(
+                zip(tiles, (acc_r, acc_g, acc_b))
+            ):
+                row = jnp.broadcast_to(tile[j:j + 1, :], (_SUB, _LANE))
+                g = jnp.take_along_axis(row, r, axis=1)
+                if c == 0:
+                    acc_r = jnp.where(mj, g, acc_r)
+                elif c == 1:
+                    acc_g = jnp.where(mj, g, acc_g)
+                else:
+                    acc_b = jnp.where(mj, g, acc_b)
+        return acc_r, acc_g, acc_b
+
+    return jax.lax.fori_loop(0, n_groups, group, (zero, zero, zero))
+
+
 def _env_tile(x, y, z, wgt, env_ref, put_r, put_g, put_b,
               height: int, width: int, rows_per_chan: int):
     zero = jnp.zeros((_SUB, _LANE), jnp.float32)
@@ -88,46 +138,8 @@ def _env_tile(x, y, z, wgt, env_ref, put_r, put_g, put_b,
 
     @pl.when(any_alive)
     def _():
-        pi = jnp.float32(REF_PI_ENVMAP)
-        theta = width * (atan2(x, z) / pi + 1.0) / 2.0
-        phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
-        ix = jnp.clip(theta.astype(jnp.int32), 0, width - 1)
-        iy = jnp.clip(phi.astype(jnp.int32), 0, height - 1)
-        f = iy * width + ix
-        q = f // _LANE
-        r = f % _LANE
-
-        big = jnp.int32(2 ** 30)
-        q_lo = _roll_min(jnp.where(alive, q, big))
-        q_hi = _roll_max(jnp.where(alive, q, -1))
-        g0 = (q_lo // _SUB) * _SUB
-        n_groups = q_hi // _SUB - q_lo // _SUB + 1
-
-        def group(i, accs):
-            acc_r, acc_g, acc_b = accs
-            base = g0 + i * _SUB
-            brow = q - base
-            tiles = [
-                env_ref[pl.ds(c * rows_per_chan + base, _SUB), :]
-                for c in range(3)
-            ]
-            for j in range(_SUB):
-                mj = alive & (brow == j)
-                for c, (tile, acc) in enumerate(
-                    zip(tiles, (acc_r, acc_g, acc_b))
-                ):
-                    row = jnp.broadcast_to(tile[j:j + 1, :], (_SUB, _LANE))
-                    g = jnp.take_along_axis(row, r, axis=1)
-                    if c == 0:
-                        acc_r = jnp.where(mj, g, acc_r)
-                    elif c == 1:
-                        acc_g = jnp.where(mj, g, acc_g)
-                    else:
-                        acc_b = jnp.where(mj, g, acc_b)
-            return acc_r, acc_g, acc_b
-
-        acc_r, acc_g, acc_b = jax.lax.fori_loop(
-            0, n_groups, group, (zero, zero, zero)
+        acc_r, acc_g, acc_b = env_window_tile(
+            x, y, z, alive, env_ref, height, width, rows_per_chan
         )
         put_r(wgt * acc_r)
         put_g(wgt * acc_g)

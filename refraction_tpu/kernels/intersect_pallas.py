@@ -86,6 +86,24 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
                  o_x, o_y, o_z, d_x, d_y, d_z, cu,
                  put_t, put_i, put_nx, put_ny, put_nz,
                  best_t, best_i, best_nx, best_ny, best_nz):
+    traverse_tile(tmin, tmax, num_clusters, cluster_size,
+                  tri_sm, norm_sm, cluster_sm, subs_sm,
+                  o_x, o_y, o_z, d_x, d_y, d_z, cu,
+                  best_t, best_i, best_nx, best_ny, best_nz)
+    put_t(best_t[:])
+    put_i(best_i[:])
+    put_nx(best_nx[:])
+    put_ny(best_ny[:])
+    put_nz(best_nz[:])
+
+
+def traverse_tile(tmin, tmax, num_clusters, cluster_size,
+                  tri_sm, norm_sm, cluster_sm, subs_sm,
+                  o_x, o_y, o_z, d_x, d_y, d_z, cu,
+                  best_t, best_i, best_nx, best_ny, best_nz):
+    """Closest-hit traversal of one (8,128) ray tile; results land in the
+    best_* scratch refs (t=BIG where no hit). Shared by the standalone
+    closest-hit kernel and the fused wavefront megakernel."""
     alive = cu != 0.0
 
     best_t[:] = jnp.full((_SUB, _LANE), jnp.float32(BIG))
@@ -273,11 +291,6 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
     # SLOWER: the per-visit while_loop + scalar argmin serialized the
     # pipeline. Morton order + bitmask gates keeps the VPU saturated.)
     gated_loop(cluster_sm, jnp.int32(0), num_clusters, visit_cluster)
-    put_t(best_t[:])
-    put_i(best_i[:])
-    put_nx(best_nx[:])
-    put_ny(best_ny[:])
-    put_nz(best_nz[:])
 
 
 def _pad_rays(x, n_pad):

@@ -71,13 +71,22 @@ def make_renderer(
     cfg: RenderConfig,
     intersect_fn: Callable | None = None,
     env_fn: Callable | None = None,
+    use_mega: bool | None = None,
 ) -> Callable[[Scene, CameraFrame], jnp.ndarray]:
-    """Build a jitted (scene, frame) -> (H, W, 3) renderer for ``cfg``."""
+    """Build a jitted (scene, frame) -> (H, W, 3) renderer for ``cfg``.
+
+    On the pallas backend the fused wavefront megakernel path is used
+    (one Pallas call per bounce round); pass ``use_mega=False`` to force
+    the modular intersect+env kernels instead.
+    """
+    mega = use_mega
     if intersect_fn is None:
         backend = get_backend(cfg.backend, cfg.cluster_size)
         intersect_fn = backend.intersect
         if env_fn is None:
             env_fn = backend.env_contribution
+        if mega is None:
+            mega = backend.name == "pallas"
     offsets = sample_offsets(cfg.spp)
     inv_spp = np.float32(1.0 / cfg.spp)
 
@@ -104,9 +113,17 @@ def make_renderer(
                 frame, cfg.width, cfg.height,
                 jitter=None if cfg.spp == 1 else jitter, xp=jnp,
             )
-            acc = acc + render_pixels(
-                scene, _pad_tile(o), _pad_tile(d), cfg, intersect_fn, env_fn
-            )
+            if mega:
+                from refraction_tpu.integrator import render_pixels_mega
+
+                acc = acc + render_pixels_mega(
+                    scene, _pad_tile(o), _pad_tile(d), cfg
+                )
+            else:
+                acc = acc + render_pixels(
+                    scene, _pad_tile(o), _pad_tile(d), cfg, intersect_fn,
+                    env_fn,
+                )
         img = untile_order(acc * inv_spp, h_pad, w_pad)
         img = img.reshape(h_pad, w_pad, 3)
         return img[:cfg.height, :cfg.width]
