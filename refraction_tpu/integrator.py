@@ -222,8 +222,8 @@ def render_pixels_mega(
         tmax = cfg.primary_tmax if count == 0 else cfg.secondary_tmax
         limits = jnp.asarray(
             [tmin, tmax, cfg.ior, cfg.fresnel_r0], jnp.float32)
-        want_reflect = (count < cfg.max_reflect_depth
-                        and count < cfg.max_refract_depth)
+        want_children = count < cfg.max_refract_depth
+        want_reflect = want_children and count < cfg.max_reflect_depth
 
         pad_rows = ((cur_rows + chunk_rows - 1) // chunk_rows) * chunk_rows
         args = [padded(state[k], pad_rows)
@@ -232,7 +232,7 @@ def render_pixels_mega(
             scene.tri_packed, scene.tri_norm_packed, scene.cluster_bounds,
             scene.sub_bounds, env_flat, limits, *args,
             env_h=env_h, env_w=env_w, want_reflect=want_reflect,
-            interpret=interpret,
+            want_children=want_children, interpret=interpret,
         )
         res = [r[:cur_rows] for r in res]
         rad = jnp.stack(

@@ -49,7 +49,8 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                  lx, ly, lz, l_wgt,
                  best_t, best_i, best_nx, best_ny, best_nz,
                  cluster_size: int, env_h: int, env_w: int,
-                 env_rows: int, want_reflect: bool):
+                 env_rows: int, want_reflect: bool = True,
+                 want_children: bool = True):
     tmin = limits_sm[0]
     tmax = limits_sm[1]
     ior = limits_sm[2]
@@ -74,12 +75,13 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
 
         @pl.when(jnp.logical_not(any_alive))
         def _():
-            for ref in (rad_r, rad_g, rad_b, hx, hy, hz, fx, fy, fz,
-                        f_cull, f_wgt):
+            refs = [rad_r, rad_g, rad_b]
+            if want_children:
+                refs += [hx, hy, hz, fx, fy, fz, f_cull, f_wgt]
+                if want_reflect:
+                    refs += [lx, ly, lz, l_wgt]
+            for ref in refs:
                 ref[rows, :] = zero
-            if want_reflect:
-                for ref in (lx, ly, lz, l_wgt):
-                    ref[rows, :] = zero
 
         @pl.when(any_alive)
         def _():
@@ -128,6 +130,8 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
             write_rad(miss_w * er, miss_w * eg, miss_w * eb)
 
         # ---- Hit shading (RayTracing.hlsl:79-123) ------------------------
+        if not want_children:
+            return  # final round: hits at the depth cap contribute black
         # Interpolated shading normal, flipped to the ray's side via the
         # cull sign: N' = normalize(n) * cull  (cull=+1 outside, -1 inside).
         nx_, ny_, nz_ = best_nx[:], best_ny[:], best_nz[:]
@@ -189,15 +193,19 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("env_h", "env_w", "want_reflect", "interpret"),
+    static_argnames=("env_h", "env_w", "want_reflect", "want_children",
+                     "interpret"),
 )
 def mega_round(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
                env_flat, limits, ox, oy, oz, dx, dy, dz, cull, wgt,
-               env_h, env_w, want_reflect=True, interpret=False):
+               env_h, env_w, want_reflect=True, want_children=True,
+               interpret=False):
     """One wavefront bounce round over SoA (rows, 128) ray state.
 
-    Returns (rad_rgb x3, hit_p x3, refr x3, refr_cull, refr_wgt,
-    [refl x3, refl_wgt]) — all (rows, 128)."""
+    Returns (rad_rgb x3, [hit_p x3, refr x3, refr_cull, refr_wgt,
+    [refl x3, refl_wgt]]) — all (rows, 128). With want_children=False
+    (the final round, where hits contribute black) only radiance is
+    produced."""
     rows = ox.shape[0]
     grid = rows // (_SUB * GROUP)
     cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
@@ -206,14 +214,22 @@ def mega_round(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
     spec = pl.BlockSpec((_SUB * GROUP, _LANE), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     f32 = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
-    n_out = 15 if want_reflect else 11
+    if not want_children:
+        n_out = 3
+        kern = _mega_kernel_missonly
+    elif want_reflect:
+        n_out = 15
+        kern = _mega_kernel
+    else:
+        n_out = 11
+        kern = _mega_kernel_norefl
     out_shape = tuple([f32] * n_out)
 
     res = pl.pallas_call(
         functools.partial(
-            _mega_kernel if want_reflect else _mega_kernel_norefl,
+            kern,
             cluster_size=cluster_size, env_h=env_h, env_w=env_w,
-            env_rows=env_rows, want_reflect=want_reflect,
+            env_rows=env_rows,
         ),
         grid=(grid,),
         in_specs=[
@@ -248,7 +264,7 @@ def _mega_kernel_norefl(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                         rad_r, rad_g, rad_b,
                         hx, hy, hz, fx, fy, fz, f_cull, f_wgt,
                         best_t, best_i, best_nx, best_ny, best_nz,
-                        cluster_size, env_h, env_w, env_rows, want_reflect):
+                        cluster_size, env_h, env_w, env_rows):
     _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                  ox, oy, oz, dx, dy, dz, cull, wgt,
                  rad_r, rad_g, rad_b,
@@ -257,3 +273,19 @@ def _mega_kernel_norefl(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                  best_t, best_i, best_nx, best_ny, best_nz,
                  cluster_size=cluster_size, env_h=env_h, env_w=env_w,
                  env_rows=env_rows, want_reflect=False)
+
+
+def _mega_kernel_missonly(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
+                          env_ref, ox, oy, oz, dx, dy, dz, cull, wgt,
+                          rad_r, rad_g, rad_b,
+                          best_t, best_i, best_nx, best_ny, best_nz,
+                          cluster_size, env_h, env_w, env_rows):
+    _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
+                 ox, oy, oz, dx, dy, dz, cull, wgt,
+                 rad_r, rad_g, rad_b,
+                 None, None, None, None, None, None, None, None,
+                 None, None, None, None,
+                 best_t, best_i, best_nx, best_ny, best_nz,
+                 cluster_size=cluster_size, env_h=env_h, env_w=env_w,
+                 env_rows=env_rows, want_reflect=False,
+                 want_children=False)
