@@ -75,6 +75,11 @@ def main(argv=None) -> int:
     p.add_argument("--bounces", type=int, help="max refraction depth (ref: 5)")
     p.add_argument("--spp", type=int, help="supersamples per pixel")
     p.add_argument("--ior", type=float, help="index of refraction (ref: 1.3)")
+    p.add_argument("--mtl-ior", action="store_true",
+                   help="take the IOR from the scene's .mtl Ni (the"
+                        " reference ships ott.mtl Ni=1.45 but ignores it)")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler trace of one frame to DIR")
     p.add_argument("--backend", choices=["auto", "xla", "pallas"])
     p.add_argument("--baseline", type=int, choices=[1, 2, 3, 4, 5],
                    help="start from a BASELINE.json staged config")
@@ -102,6 +107,12 @@ def main(argv=None) -> int:
              cfg.scene_path, cfg.envmap_path, cfg.width, cfg.height,
              cfg.max_refract_depth, cfg.spp, cfg.backend, jax.devices()[0])
 
+    if args.mtl_ior:
+        from refraction_tpu.io.mtl import ior_for_scene
+
+        cfg = cfg.replace(ior=ior_for_scene(cfg.scene_path, cfg.ior))
+        log.info("IOR from MTL: %.4g", cfg.ior)
+
     scene, meta = load_scene(cfg)
     log.info("tris=%d (padded %d), clusters=%d, envmap=%s",
              meta.num_real_tris, meta.num_padded_tris,
@@ -127,6 +138,14 @@ def main(argv=None) -> int:
             base, ext = os.path.splitext(args.out)
             write_png(f"{base}_{idx:04d}{ext or '.png'}", tonemap(host))
         return host
+
+    if args.profile:
+        import jax as _jax
+
+        renderer(scene, orbit_camera(angle, cfg)).block_until_ready()
+        with _jax.profiler.trace(args.profile):
+            renderer(scene, orbit_camera(angle, cfg)).block_until_ready()
+        log.info("profiler trace written to %s", args.profile)
 
     host_img = None
     for i in range(args.frames):

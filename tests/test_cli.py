@@ -1,0 +1,72 @@
+"""CLI (refraction_tpu.run) smoke tests + MTL parsing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from refraction_tpu.io.mtl import ior_for_scene, parse_mtl
+from refraction_tpu.io.png import load_png
+from refraction_tpu.run import main, tonemap
+
+REF = "/root/reference"
+
+
+def test_cli_single_frame(tmp_path):
+    out = str(tmp_path / "f.png")
+    rc = main(["--scene", os.path.join(REF, "cube.obj"), "--width", "64",
+               "--height", "32", "--backend", "xla", "--frames", "1",
+               "--out", out])
+    assert rc == 0
+    img = load_png(out)
+    assert img.shape == (32, 64, 3)
+    assert img.max() > 0
+
+
+def test_cli_accumulate_resume(tmp_path):
+    out = str(tmp_path / "acc.png")
+    rc = main(["--scene", os.path.join(REF, "cube.obj"), "--width", "64",
+               "--height", "32", "--backend", "xla", "--frames", "2",
+               "--accumulate", "--out", out, "--raw"])
+    assert rc == 0
+    state = str(tmp_path / "acc_state.npz")
+    assert os.path.exists(state)
+    # resume adds more frames on top of the saved state
+    rc = main(["--scene", os.path.join(REF, "cube.obj"), "--width", "64",
+               "--height", "32", "--backend", "xla", "--frames", "1",
+               "--accumulate", "--resume", state, "--out", out])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "acc.npy"))
+
+
+def test_tonemap():
+    x = np.array([[-1.0, 0.0, 0.5, 2.0]])
+    y = tonemap(x)
+    assert y[0, 0] == 0 and y[0, 3] == 1.0
+    np.testing.assert_allclose(y[0, 2], 0.5 ** (1 / 2.2), rtol=1e-6)
+
+
+def test_parse_mtl(tmp_path):
+    p = str(tmp_path / "m.mtl")
+    with open(p, "w") as f:
+        f.write("""# comment
+newmtl glass
+Ns 250
+Ni 1.45
+Kd 0.8 0.1 0.1
+map_Kd C:\\textures\\foo.png
+newmtl other
+Ni 1.1
+""")
+    mats = parse_mtl(p)
+    assert mats["glass"]["Ni"] == 1.45
+    assert mats["glass"]["Kd"] == (0.8, 0.1, 0.1)
+    assert mats["other"]["Ni"] == 1.1
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(REF, "ott.mtl")),
+                    reason="reference assets not mounted")
+def test_reference_ott_mtl_ni():
+    # SURVEY.md 2.3: ott.mtl has Ni=1.45 (ignored by the reference loader).
+    assert ior_for_scene(os.path.join(REF, "ott.obj"), 1.3) == 1.45
+    assert ior_for_scene(os.path.join(REF, "monkey.obj"), 1.3) == 1.3
