@@ -59,16 +59,19 @@ def make_sharded_renderer(
     replicated. Per-sample jitter offsets follow render.make_renderer.
     """
     env_fn = None
+    mega = False
     if intersect_fn is None:
         backend = get_backend(cfg.backend, cfg.cluster_size)
         intersect_fn = backend.intersect
         env_fn = backend.env_contribution
+        mega = backend.name == "pallas"
     from refraction_tpu.render import sample_offsets
 
     offsets = sample_offsets(cfg.spp)
     n = cfg.height * cfg.width
     ndev = mesh.devices.size
-    n_pad = _round_up(n, ndev * 8)
+    # The megakernel path needs whole 1024-ray tiles per shard.
+    n_pad = _round_up(n, ndev * (1024 if mega else 8))
 
     ray_spec = P("pixels")
     rep = P()
@@ -78,8 +81,15 @@ def make_sharded_renderer(
         mesh=mesh,
         in_specs=(rep, ray_spec, ray_spec),
         out_specs=ray_spec,
+        # pallas_call outputs carry no varying-mesh-axis metadata; the
+        # shard body is per-shard pure, so the static check is safely off.
+        check_vma=False,
     )
     def _trace_shard(scene, o, d):
+        if mega:
+            from refraction_tpu.integrator import render_pixels_mega
+
+            return render_pixels_mega(scene, o, d, cfg)
         return render_pixels(scene, o, d, cfg, intersect_fn, env_fn)
 
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))

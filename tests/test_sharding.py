@@ -74,3 +74,29 @@ def test_trisharded_intersect_matches(sphere_scene):
     m = h1
     assert (i1[m] == i2[m]).all()
     np.testing.assert_allclose(t1[m], t2[m], rtol=1e-6)
+
+
+def test_mega_in_shard_map(sphere_scene, small_cfg):
+    """The fused megakernel runs under shard_map (the multi-chip config)
+    and matches the single-device modular path."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+    from refraction_tpu.camera import generate_rays
+    from refraction_tpu.integrator import render_pixels_mega
+
+    scene, _ = sphere_scene
+    cfg = small_cfg.replace(width=128, height=64, backend="xla")
+    frame = orbit_camera(0.6, cfg)
+    single = np.asarray(make_renderer(cfg)(scene, frame))
+
+    mesh = make_mesh(8)
+    o, d = generate_rays(frame, cfg.width, cfg.height, xp=np)
+    f = jax.jit(jax.shard_map(
+        lambda s, oo, dd: render_pixels_mega(s, oo, dd, cfg, interpret=True),
+        mesh=mesh, in_specs=(P(), P("pixels"), P("pixels")),
+        out_specs=P("pixels"), check_vma=False,
+    ))
+    rad = np.asarray(f(scene, jnp.asarray(o), jnp.asarray(d)))
+    rad = rad.reshape(cfg.height, cfg.width, 3)
+    assert rmse(rad, single) < 1e-4
