@@ -279,7 +279,14 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         return 0
 
     def visit_sub(si):
-        jax.lax.fori_loop(0, 8, lambda k, c: tri_body(si * 8 + k, c), 0)
+        # 2x manual unroll: interleaves two triangles' scalar loads with
+        # vector math so the scalar core stays ahead of the VPU.
+        def two(k, c):
+            tri_body(si * 8 + 2 * k, c)
+            tri_body(si * 8 + 2 * k + 1, c)
+            return c
+
+        jax.lax.fori_loop(0, 4, two, 0)
 
     def visit_cluster(ci):
         # Fine level: bitmask-gated 8-tri subclusters within the cluster.
