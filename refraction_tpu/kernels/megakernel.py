@@ -29,14 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.kernels.envmap_pallas import env_window_tile
 from refraction_tpu.kernels.intersect_pallas import (
-    BIG,
     BLOCK_RAYS,
     GROUP,
     _LANE,
     _SUB,
     traverse_tile,
 )
-from refraction_tpu.scene import Scene
 
 # limits_sm layout: [tmin, tmax, ior, fresnel_r0]
 _N_LIMITS = 4
