@@ -129,15 +129,26 @@ def main(argv=None) -> int:
     angle = args.angle
     pending = None  # (device_image, frame_index) — pipelined previous frame
 
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _to_u8(img):
+        # Device-side display transform: quarters the host transfer (the
+        # equivalent of the reference's R8G8B8A8_UNORM render target,
+        # RefractionDemo.cpp:430).
+        srgb = jnp.clip(img, 0.0, 1.0) ** jnp.float32(1.0 / 2.2)
+        return (srgb * 255.0 + 0.5).astype(jnp.uint8)
+
     def drain(entry):
         img_dev, idx = entry
-        host = np.asarray(img_dev)
-        if acc is not None:
-            acc.add(host)
-        elif args.frames > 1:
-            base, ext = os.path.splitext(args.out)
-            write_png(f"{base}_{idx:04d}{ext or '.png'}", tonemap(host))
-        return host
+        if acc is not None or args.raw or args.frames == 1:
+            host = np.asarray(img_dev)  # full radiance needed on host
+            if acc is not None:
+                acc.add(host)
+            return host
+        base, ext = os.path.splitext(args.out)
+        write_png(f"{base}_{idx:04d}{ext or '.png'}", np.asarray(_to_u8(img_dev)))
+        return None
 
     if args.profile:
         import jax as _jax
