@@ -192,6 +192,12 @@ def pallas_env_contribution(scene: Scene, dirs, weight,
 
     weight must already be zero on non-miss / dead lanes.
     """
+    if scene.env_packed.size * 4 > 8 * 2 ** 20:
+        # Envmap too large for VMEM residency: XLA gather fallback.
+        from refraction_tpu.ops.backends import xla_env_contribution
+
+        return xla_env_contribution(scene, dirs, weight)
+
     n = dirs.shape[0]
     chunk = BLOCK_RAYS * GROUP
     n_pad = ((n + chunk - 1) // chunk) * chunk

@@ -360,6 +360,17 @@ def pallas_intersect(scene: Scene, origins, dirs, want_front, alive,
     *unnormalized* interpolated shading normal of the winning triangle
     (garbage on non-hit lanes — mask before use).
     """
+    smem_bytes = (scene.tri_packed.size + scene.tri_norm_packed.size
+                  + scene.cluster_bounds.size + scene.sub_bounds.size) * 4
+    if smem_bytes > 900 * 2 ** 10:
+        # Triangle tables exceed the ~1 MB SMEM budget (scenes beyond
+        # ~14k tris): XLA brute-force fallback until the HBM-streaming
+        # kernel variant lands (TODO.md).
+        from refraction_tpu.ops.backends import xla_intersect
+
+        return xla_intersect(scene, origins, dirs, want_front, alive,
+                             tmin, tmax)
+
     n = origins.shape[0]
     chunk = BLOCK_RAYS * GROUP
     n_pad = ((n + chunk - 1) // chunk) * chunk

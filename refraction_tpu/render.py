@@ -88,6 +88,15 @@ def make_renderer(
         if mega is None:
             mega = backend.name == "pallas"
     offsets = sample_offsets(cfg.spp)
+
+    def _mega_ok(scene: Scene) -> bool:
+        # The fused kernel keeps the envmap in VMEM (~16 MB total incl. ray
+        # tiles) and the triangle tables in SMEM (1 MB); larger scenes fall
+        # back to the modular kernels / XLA paths.
+        env_bytes = int(np.prod(scene.env_packed.shape)) * 4
+        smem_bytes = (scene.tri_packed.size + scene.tri_norm_packed.size
+                      + scene.cluster_bounds.size + scene.sub_bounds.size) * 4
+        return env_bytes <= 8 * 2 ** 20 and smem_bytes <= 900 * 2 ** 10
     inv_spp = np.float32(1.0 / cfg.spp)
 
     # Pad the image to whole (8, 128) tiles (duplicated edge rays, cropped
@@ -113,7 +122,7 @@ def make_renderer(
                 frame, cfg.width, cfg.height,
                 jitter=None if cfg.spp == 1 else jitter, xp=jnp,
             )
-            if mega:
+            if mega and _mega_ok(scene):
                 from refraction_tpu.integrator import render_pixels_mega
 
                 acc = acc + render_pixels_mega(
