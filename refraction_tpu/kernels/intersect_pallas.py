@@ -362,10 +362,12 @@ def pallas_intersect(scene: Scene, origins, dirs, want_front, alive,
     """
     smem_bytes = (scene.tri_packed.size + scene.tri_norm_packed.size
                   + scene.cluster_bounds.size + scene.sub_bounds.size) * 4
-    if smem_bytes > 900 * 2 ** 10:
-        # Triangle tables exceed the ~1 MB SMEM budget (scenes beyond
-        # ~14k tris): XLA brute-force fallback until the HBM-streaming
-        # kernel variant lands (TODO.md).
+    if smem_bytes > 1000 * 2 ** 10:
+        # Triangle tables exceed the SMEM budget incl. scratch (scenes
+        # beyond ~14k tris): XLA brute-force fallback. WARNING: only safe
+        # at modest ray widths — at full wavefront widths the fused
+        # brute-force reduction faults the TPU runtime (TODO.md); big
+        # scenes need the HBM-streaming kernel variant.
         from refraction_tpu.ops.backends import xla_intersect
 
         return xla_intersect(scene, origins, dirs, want_front, alive,

@@ -96,7 +96,7 @@ def make_renderer(
         env_bytes = int(np.prod(scene.env_packed.shape)) * 4
         smem_bytes = (scene.tri_packed.size + scene.tri_norm_packed.size
                       + scene.cluster_bounds.size + scene.sub_bounds.size) * 4
-        return env_bytes <= 8 * 2 ** 20 and smem_bytes <= 900 * 2 ** 10
+        return env_bytes <= 8 * 2 ** 20 and smem_bytes <= 1000 * 2 ** 10
     inv_spp = np.float32(1.0 / cfg.spp)
 
     # Pad the image to whole (8, 128) tiles (duplicated edge rays, cropped
