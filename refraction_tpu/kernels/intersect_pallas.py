@@ -54,6 +54,7 @@ BIG = 3.0e38  # python float: becomes an inline literal inside the kernel
 def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, ox, oy, oz,
             dx, dy, dz, cull, t_out, i_out, nx_out, ny_out, nz_out,
             best_t, best_i, best_nx, best_ny, best_nz,
+            words_sm, ent_sm, sfx_sm,
             cluster_size: int):
     tmin = limits_sm[0]
     tmax = limits_sm[1]
@@ -75,6 +76,7 @@ def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, ox, oy, oz,
             lambda v: ny_out.__setitem__((rows, slice(None)), v),
             lambda v: nz_out.__setitem__((rows, slice(None)), v),
             best_t, best_i, best_nx, best_ny, best_nz,
+            words_sm, ent_sm, sfx_sm,
         )
         return 0
 
@@ -85,11 +87,13 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
                  tri_sm, norm_sm, cluster_sm, subs_sm,
                  o_x, o_y, o_z, d_x, d_y, d_z, cu,
                  put_t, put_i, put_nx, put_ny, put_nz,
-                 best_t, best_i, best_nx, best_ny, best_nz):
+                 best_t, best_i, best_nx, best_ny, best_nz,
+                 words_sm, ent_sm, sfx_sm):
     traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
-                  best_t, best_i, best_nx, best_ny, best_nz)
+                  best_t, best_i, best_nx, best_ny, best_nz,
+                  words_sm, ent_sm, sfx_sm)
     put_t(best_t[:])
     put_i(best_i[:])
     put_nx(best_nx[:])
@@ -100,7 +104,8 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
 def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
-                  best_t, best_i, best_nx, best_ny, best_nz):
+                  best_t, best_i, best_nx, best_ny, best_nz,
+                  words_sm, ent_sm, sfx_sm):
     """Closest-hit traversal of one (8,128) ray tile; results land in the
     best_* scratch refs (t=BIG where no hit). Shared by the standalone
     closest-hit kernel and the fused wavefront megakernel."""
@@ -149,15 +154,18 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     def slab_mask(bounds_sm, base):
         return slab_mask_entry(bounds_sm, base)[0]
 
+    def _roll_tree(v, combine):
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            v = combine(v, pltpu.roll(v, s, axis=1))
+        for s in (4, 2, 1):
+            v = combine(v, pltpu.roll(v, s, axis=0))
+        return v[0, 0]
+
     def or_reduce_scalar(bits):
         """Bitwise-OR a (8,128) int32 tile to one scalar via a roll tree —
         replaces per-cluster jnp.any() reductions, whose scalar-unit cost
         (~100s of cycles each) was the kernel's per-tile floor."""
-        for s in (64, 32, 16, 8, 4, 2, 1):
-            bits = bits | pltpu.roll(bits, s, axis=1)
-        for s in (4, 2, 1):
-            bits = bits | pltpu.roll(bits, s, axis=0)
-        return bits[0, 0]
+        return _roll_tree(bits, jnp.bitwise_or)
 
     _GROUP_BITS = 16  # AABBs gated per bitmask reduction
 
@@ -283,11 +291,73 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         gated_loop(subs_sm, ci * subs_per_cluster, subs_per_cluster,
                    visit_sub)
 
-    # Coarse level: bitmask-gated clusters in Morton order. (A near-to-far
-    # ordered variant with early termination was tried and benchmarked 4x
-    # SLOWER: the per-visit while_loop + scalar argmin serialized the
-    # pipeline. Morton order + bitmask gates keeps the VPU saturated.)
-    gated_loop(cluster_sm, jnp.int32(0), num_clusters, visit_cluster)
+    # ---- Coarse level: Morton-order bitmask gates + group-granular early
+    # termination. (A per-cluster near-to-far ordered visit was tried and
+    # benchmarked 4x SLOWER — the per-visit while_loop + scalar argmin
+    # serialized the VPU. This variant keeps the static Morton loop and
+    # adds one suffix-min bound check per 16-cluster group: once every
+    # live lane's best hit is nearer than the closest entry of all
+    # REMAINING groups, the rest of the scene is skipped.)
+    n_groups = (num_clusters + _GROUP_BITS - 1) // _GROUP_BITS
+
+    if n_groups > 4:
+        # Many-group scenes (e.g. ott.obj: 13 groups) pay the per-group
+        # entry/bound roll trees without the exit firing often enough
+        # (measured +20% frame time) — use the plain bitmask loop.
+        gated_loop(cluster_sm, jnp.int32(0), num_clusters, visit_cluster)
+        return
+
+    # Phase A: per-group overlap word + min entry distance (roll trees).
+    def scan_a(g, _):
+        rel0 = g * _GROUP_BITS
+        bits = jnp.zeros((_SUB, _LANE), jnp.int32)
+        ent = jnp.full((_SUB, _LANE), jnp.float32(BIG))
+        for b in range(min(_GROUP_BITS, num_clusters)):
+            rel = rel0 + b
+            idx = jnp.minimum(rel, num_clusters - 1)
+            m, enter = slab_mask_entry(cluster_sm, idx * 6)
+            mm = m & (rel < num_clusters)
+            bits = bits | jnp.where(mm, jnp.int32(1 << b), jnp.int32(0))
+            ent = jnp.minimum(ent, jnp.where(mm, enter, jnp.float32(BIG)))
+        words_sm[g] = or_reduce_scalar(bits)
+        ent_sm[g] = _roll_tree(ent, jnp.minimum)
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, scan_a, 0)
+
+    # Phase B: exclusive suffix minimum of group entries.
+    sfx_sm[n_groups] = jnp.float32(BIG)
+
+    def scan_b(i, _):
+        g = n_groups - 1 - i
+        sfx_sm[g] = jnp.minimum(ent_sm[g], sfx_sm[g + 1])
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, scan_b, 0)
+
+    # Phase C: visit groups; stop once no remaining group can improve any
+    # live lane (lanes without a hit hold best_t = BIG, so the bound only
+    # drops below a group entry when every live lane has a nearer hit).
+    def visit_group(g, done):
+        word = words_sm[g]
+
+        @pl.when(jnp.logical_not(done) & (word != 0))
+        def _():
+            def bit_body(b, _):
+                @pl.when((word >> b) & 1 != 0)
+                def _():
+                    visit_cluster(g * _GROUP_BITS + b)
+
+                return 0
+
+            jax.lax.fori_loop(0, min(_GROUP_BITS, num_clusters), bit_body, 0)
+
+        bound = _roll_tree(
+            jnp.where(alive, best_t[:], jnp.float32(0.0)), jnp.maximum
+        )
+        return done | (bound <= sfx_sm[g + 1])
+
+    jax.lax.fori_loop(0, n_groups, visit_group, jnp.bool_(False))
 
 
 def _pad_rays(x, n_pad):
@@ -307,6 +377,7 @@ def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
     def comp(x, i):
         return x[:, i].reshape(rows, _LANE)
 
+    n_grp = (cluster_bounds.shape[0] + 15) // 16
     block_rows = _SUB * GROUP
     ray_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -338,6 +409,9 @@ def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
+            pltpu.SMEM((n_grp,), jnp.int32),
+            pltpu.SMEM((n_grp,), jnp.float32),
+            pltpu.SMEM((n_grp + 1,), jnp.float32),
         ],
         interpret=interpret,
     )(
