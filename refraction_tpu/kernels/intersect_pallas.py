@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from refraction_tpu.scene import Scene
 
 BLOCK_RAYS = 1024  # one (8, 128) tile = the skip granularity
-GROUP = 8          # tiles processed per grid program (amortizes per-program
+GROUP = 16         # tiles processed per grid program (amortizes per-program
                    # grid overhead, which dominated at 1-tile programs)
 _SUB = 8
 _LANE = 128
