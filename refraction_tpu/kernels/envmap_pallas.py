@@ -42,10 +42,19 @@ _SUB = 8
 _LANE = 128
 
 
+def _sublane_steps(rows: int):
+    steps = []
+    s = rows // 2
+    while s >= 1:
+        steps.append(s)
+        s //= 2
+    return steps
+
+
 def _roll_min(v):
     for s in (64, 32, 16, 8, 4, 2, 1):
         v = jnp.minimum(v, pltpu.roll(v, s, axis=1))
-    for s in (4, 2, 1):
+    for s in _sublane_steps(v.shape[0]):
         v = jnp.minimum(v, pltpu.roll(v, s, axis=0))
     return v[0, 0]
 
@@ -53,7 +62,7 @@ def _roll_min(v):
 def _roll_max(v):
     for s in (64, 32, 16, 8, 4, 2, 1):
         v = jnp.maximum(v, pltpu.roll(v, s, axis=1))
-    for s in (4, 2, 1):
+    for s in _sublane_steps(v.shape[0]):
         v = jnp.maximum(v, pltpu.roll(v, s, axis=0))
     return v[0, 0]
 
@@ -76,13 +85,18 @@ def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
 
 def env_window_tile(x, y, z, alive, env_ref,
                     height: int, width: int, rows_per_chan: int):
-    """Equirect texel lookup for one (8,128) tile of directions.
+    """Equirect texel lookup for one (R,128) tile of directions (R = any
+    power of two >= 8; the fused frame kernel batches several wavefront
+    slots into one call so the two window roll-reductions — the dominant
+    scalar-stall cost — are paid once per bounce round, not per slot).
 
-    Returns (r, g, b) tiles — zeros where not alive. Caller is responsible
-    for the any-alive gate and weighting. ``env_ref`` is the (3R, 128)
-    flat-packed map in VMEM. Shared by the standalone env kernel and the
-    wavefront megakernel."""
-    zero = jnp.zeros((_SUB, _LANE), jnp.float32)
+    Returns (r, g, b) tiles — zeros where not alive. If *no* lane is
+    alive the row window is empty and the scan loop self-gates to zero
+    iterations, so callers need no any-alive gate. ``env_ref`` is the
+    (3R, 128) flat-packed map in VMEM. Shared by the standalone env kernel
+    and the wavefront megakernels."""
+    rows = x.shape[0]
+    zero = jnp.zeros((rows, _LANE), jnp.float32)
     pi = jnp.float32(REF_PI_ENVMAP)
     theta = width * (atan2(x, z) / pi + 1.0) / 2.0
     phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
@@ -111,7 +125,7 @@ def env_window_tile(x, y, z, alive, env_ref,
             for c, (tile, acc) in enumerate(
                 zip(tiles, (acc_r, acc_g, acc_b))
             ):
-                row = jnp.broadcast_to(tile[j:j + 1, :], (_SUB, _LANE))
+                row = jnp.broadcast_to(tile[j:j + 1, :], (rows, _LANE))
                 g = jnp.take_along_axis(row, r, axis=1)
                 if c == 0:
                     acc_r = jnp.where(mj, g, acc_r)

@@ -1,0 +1,420 @@
+"""Whole-frame fused kernel: ONE Pallas call per frame.
+
+The TPU-native equivalent of the reference's single ``DispatchRays`` per
+frame (RefractionDemo.cpp:589-594): camera ray generation
+(RayTracing.hlsl:27-40), the full bounded bounce *tree* (ClosestHit
+recursion, RayTracing.hlsl:79-123), and envmap miss shading
+(RayTracing.hlsl:127-137) all execute inside one kernel; only the final
+per-pixel radiance is written to HBM.
+
+Why this beats the round-per-call wavefront (integrator.render_pixels_mega):
+the level-synchronous wavefront materializes every bounce round's ray state
+in HBM — at 1080p that is ~31M ray slots/frame of which ~90% are dead, and
+profiling shows the dead slots' DMA + gate + zero-write floor costs ~25 ms
+of a 58 ms frame, plus ~13 ms of host dispatch/concat glue. Here the ray
+tree of one 32x32 image tile (1024 pixels) lives entirely in VMEM scratch:
+
+- slot s of a ``(n_slots*8, 128)`` pool holds the tile's ray front at the
+  current depth; a refraction child overwrites its parent's slot, a
+  reflection child lands at ``slot + width`` (the same static-shape
+  flattening as integrator.py, but per-tile and on-chip);
+- per-slot liveness is one roll-tree ``any()`` — a tile whose rays all
+  died pays ~a dozen vector ops per remaining round instead of an HBM
+  round-trip (wavefront compaction by construction);
+- supersampling (spp) loops *inside* the kernel, so extra samples cost
+  zero extra dispatches or HBM traffic (BASELINE config 5).
+
+Traversal and envmap lookup reuse the exact tile primitives of the modular
+kernels (intersect_pallas.traverse_tile, envmap_pallas.env_window_tile), so
+oracle parity is inherited.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from refraction_tpu.kernels.envmap_pallas import env_window_tile
+from refraction_tpu.kernels.intersect_pallas import _LANE, _SUB, traverse_tile
+
+TILE_H = 32
+TILE_W = 32
+
+# scalars_sm layout (raygen + shading constants; jitter offsets follow):
+# [0:9]   proj_inv rows 0..2 of columns (0, 1, 3)  (camera.py:126-130)
+# [9:12]  camera origin xyz
+# [12:16] tmin_primary, tmax_primary, tmin_secondary, tmax_secondary
+# [16]    ior
+# [17]    fresnel_r0
+# [18:18+2*spp] per-sample sub-pixel jitter (x, y) pairs
+_N_BASE_SCALARS = 18
+
+
+def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
+                  out_r, out_g, out_b,
+                  p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
+                  rad_r, rad_g, rad_b,
+                  best_t, best_i, best_nx, best_ny, best_nz,
+                  flags_sm,
+                  *, cluster_size: int, env_h: int, env_w: int, env_rows: int,
+                  width: int, height: int, tiles_x: int, group: int,
+                  spp: int, max_refract: int, max_reflect: int,
+                  n_slots: int):
+    num_clusters = cluster_sm.shape[0] // 6
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    inv_spp = f32(1.0 / spp)
+
+    tmin_p = scalars_sm[12]
+    tmax_p = scalars_sm[13]
+    tmin_s = scalars_sm[14]
+    tmax_s = scalars_sm[15]
+    ior = scalars_sm[16]
+    r0 = scalars_sm[17]
+
+    # Within-tile pixel coords: flat slot idx = sublane*128 + lane maps to
+    # (py, px) = (idx // TILE_W, idx % TILE_W) — the layout render.tile_order
+    # produces, so output blocks untile exactly like the wavefront path.
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0) * _LANE
+           + jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1))
+    py_l = idx // TILE_W
+    px_l = idx % TILE_W
+
+    def tile(g, _):
+        tile_id = i * group + g
+        ty = tile_id // tiles_x
+        tx = tile_id - ty * tiles_x
+        gx0 = (tx * TILE_W + px_l).astype(f32)
+        gy0 = (ty * TILE_H + py_l).astype(f32)
+
+        rad_r[:] = jnp.zeros((_SUB, _LANE), f32)
+        rad_g[:] = jnp.zeros((_SUB, _LANE), f32)
+        rad_b[:] = jnp.zeros((_SUB, _LANE), f32)
+
+        for s in range(spp):
+            _sample(gx0, gy0, s)
+
+        rows = pl.ds(g * _SUB, _SUB)
+        out_r[rows, :] = rad_r[:] * inv_spp
+        out_g[rows, :] = rad_g[:] * inv_spp
+        out_b[rows, :] = rad_b[:] * inv_spp
+        return 0
+
+    def _sample(gx0, gy0, s):
+        # --- Ray generation (camera.py:98-135 / RayTracing.hlsl:27-40) ---
+        jx = scalars_sm[_N_BASE_SCALARS + 2 * s]
+        jy = scalars_sm[_N_BASE_SCALARS + 2 * s + 1]
+        sx = (gx0 + jx) / f32(width) * f32(2.0) - f32(1.0)
+        sy = -((gy0 + jy) / f32(height) * f32(2.0) - f32(1.0))
+        rx = scalars_sm[0] * sx + scalars_sm[1] * sy + scalars_sm[2]
+        ry = scalars_sm[3] * sx + scalars_sm[4] * sy + scalars_sm[5]
+        rz = scalars_sm[6] * sx + scalars_sm[7] * sy + scalars_sm[8]
+        # no w-divide (RayTracing.hlsl:39)
+        inv_len = f32(1.0) / jnp.sqrt(rx * rx + ry * ry + rz * rz)
+        p_ox[0:_SUB, :] = jnp.broadcast_to(scalars_sm[9], (_SUB, _LANE))
+        p_oy[0:_SUB, :] = jnp.broadcast_to(scalars_sm[10], (_SUB, _LANE))
+        p_oz[0:_SUB, :] = jnp.broadcast_to(scalars_sm[11], (_SUB, _LANE))
+        p_dx[0:_SUB, :] = rx * inv_len
+        p_dy[0:_SUB, :] = ry * inv_len
+        p_dz[0:_SUB, :] = rz * inv_len
+        p_cull[0:_SUB, :] = jnp.ones((_SUB, _LANE), f32)
+        p_wgt[0:_SUB, :] = jnp.ones((_SUB, _LANE), f32)
+        if n_slots > 1:
+            # Children slots start dead so the packed flags pass (below)
+            # can always derive liveness from the whole pool.
+            p_cull[_SUB:n_slots * _SUB, :] = jnp.zeros(
+                ((n_slots - 1) * _SUB, _LANE), f32)
+
+        # --- Bounce tree, statically unrolled (integrator.py widths).
+        # Scalar-stall discipline (each vector->scalar reduction + branch
+        # stalls the in-order core ~0.6 us, and they — not vector math —
+        # set the per-tile floor): per bounce round there are exactly TWO
+        # roll-tree reductions for a live tile (the packed all-slot
+        # liveness flags, and the env row window inside env_window_tile's
+        # batched call), and a tile whose rays all died skips the round on
+        # scalar flag reads alone.
+        w_slots = 1
+        for count in range(max_refract + 1):
+            is_last = count == max_refract
+            tmin = tmin_p if count == 0 else tmin_s
+            tmax = tmax_p if count == 0 else tmax_s
+            spawn_reflect = (not is_last) and count < max_reflect
+            self_w = w_slots
+
+            def round_work(w_slots=w_slots, tmin=tmin, tmax=tmax,
+                           is_last=is_last, spawn_reflect=spawn_reflect,
+                           count=count):
+                for slot in range(w_slots):
+                    _slot_round(slot, w_slots, tmin, tmax, is_last,
+                                spawn_reflect, alive_known=(count == 0))
+                if not is_last:
+                    _flags_pass()
+
+            if count == 0:
+                round_work()
+            else:
+                live = flags_sm[0]
+                for sl in range(1, self_w):
+                    live = live | flags_sm[sl]
+
+                @pl.when(live != 0)
+                def _():
+                    round_work()
+
+            if spawn_reflect:
+                w_slots *= 2
+
+    def _flags_pass():
+        # All slots' liveness in ONE reduction: tag each live lane with
+        # its slot's bit, OR-reduce the whole pool, unpack to SMEM flags.
+        cull_all = p_cull[0:n_slots * _SUB, :]
+        row_slot = jax.lax.broadcasted_iota(
+            jnp.int32, (n_slots * _SUB, _LANE), 0) // _SUB
+        bits = jnp.where(cull_all != 0.0,
+                         jnp.left_shift(jnp.int32(1), row_slot),
+                         jnp.int32(0))
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            bits = bits | pltpu.roll(bits, s, axis=1)
+        st = n_slots * _SUB // 2
+        while st >= 1:
+            bits = bits | pltpu.roll(bits, st, axis=0)
+            st //= 2
+        word = bits[0, 0]
+        for sl in range(n_slots):
+            flags_sm[sl] = (word >> sl) & 1
+
+    def _slot_round(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
+                    alive_known):
+        if alive_known:
+            _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect)
+            return
+
+        @pl.when(flags_sm[slot] != 0)
+        def _():
+            _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect)
+
+    def _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect):
+        r = slice(slot * _SUB, (slot + 1) * _SUB)
+        cu = p_cull[r, :]
+        o_x, o_y, o_z = p_ox[r, :], p_oy[r, :], p_oz[r, :]
+        d_x, d_y, d_z = p_dx[r, :], p_dy[r, :], p_dz[r, :]
+        w = p_wgt[r, :]
+        alive = cu != 0.0
+
+        # The depth-cap round only needs the hit/miss decision (hits
+        # contribute black — RayTracing.hlsl:82): any-hit mode skips
+        # winner index/normal tracking and self-drains.
+        traverse_tile(tmin, tmax, num_clusters, cluster_size,
+                      tri_sm, norm_sm, cluster_sm, subs_sm,
+                      o_x, o_y, o_z, d_x, d_y, d_z, cu,
+                      best_t, best_i, best_nx, best_ny, best_nz,
+                      any_hit=is_last)
+
+        t = best_t[:]
+        hit = (t < tmax) & alive
+        miss = alive & ~hit
+
+        # Miss shading (RayTracing.hlsl:127-137). env_window_tile's row
+        # window is empty when no lane misses, so the scan self-gates —
+        # no any-miss reduction needed. Per-slot (not batched across
+        # slots): a batched (32,128) scan over the UNION window of four
+        # diverged slots measured ~10 ms/frame slower.
+        miss_w = jnp.where(miss, w, 0.0)
+        er, eg, eb = env_window_tile(
+            d_x, d_y, d_z, miss_w > 0.0, env_ref, env_h, env_w, env_rows)
+        rad_r[:] = rad_r[:] + miss_w * er
+        rad_g[:] = rad_g[:] + miss_w * eg
+        rad_b[:] = rad_b[:] + miss_w * eb
+
+        if is_last:
+            return  # hits at the depth cap contribute black (hlsl:82)
+
+        # Hit shading (RayTracing.hlsl:79-123) — identical math to
+        # megakernel._mega_kernel, but children stay in the VMEM pool.
+        nx_, ny_, nz_ = best_nx[:], best_ny[:], best_nz[:]
+        nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
+        inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
+        npx = nx_ * inv_nlen
+        npy = ny_ * inv_nlen
+        npz = nz_ * inv_nlen
+
+        dot_dn = d_x * npx + d_y * npy + d_z * npz
+        base = 1.0 - dot_dn
+        b2 = base * base
+        fres = (r0 * (1.0 - r0)) * b2 * b2 * base
+
+        hpx = jnp.where(hit, o_x + t * d_x, o_x)
+        hpy = jnp.where(hit, o_y + t * d_y, o_y)
+        hpz = jnp.where(hit, o_z + t * d_z, o_z)
+
+        # Refraction child in place (hlsl:70-76,95-108).
+        eta = jnp.where(cu > 0.0, 1.0 / ior, ior)
+        k = 1.0 - eta * eta * (1.0 - dot_dn * dot_dn)
+        refr_ok = k >= 0.0
+        coef = eta * dot_dn + jnp.sqrt(jnp.maximum(k, 0.0))
+        rx = eta * d_x - coef * npx
+        ry = eta * d_y - coef * npy
+        rz = eta * d_z - coef * npz
+        rinv = jax.lax.rsqrt(
+            jnp.maximum(rx * rx + ry * ry + rz * rz, jnp.float32(1e-30)))
+        f_alive = hit & refr_ok
+
+        r = slice(slot * _SUB, (slot + 1) * _SUB)
+        p_ox[r, :] = hpx
+        p_oy[r, :] = hpy
+        p_oz[r, :] = hpz
+        p_dx[r, :] = jnp.where(f_alive, rx * rinv, 0.0)
+        p_dy[r, :] = jnp.where(f_alive, ry * rinv, 1.0)
+        p_dz[r, :] = jnp.where(f_alive, rz * rinv, 0.0)
+        p_cull[r, :] = jnp.where(f_alive, -cu, 0.0)
+        p_wgt[r, :] = jnp.where(f_alive, w * (1.0 - fres), 0.0)
+
+        if spawn_reflect:
+            # Reflection child at slot + width (hlsl:66-68,110-123),
+            # spawned on EVERY hit (even under TIR), keeping the parent's
+            # side; liveness is the explicit hit mask.
+            r2 = slice((slot + w_slots) * _SUB, (slot + w_slots + 1) * _SUB)
+            sx_ = d_x - 2.0 * dot_dn * npx
+            sy_ = d_y - 2.0 * dot_dn * npy
+            sz_ = d_z - 2.0 * dot_dn * npz
+            sinv = jax.lax.rsqrt(
+                jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_,
+                            jnp.float32(1e-30)))
+            p_ox[r2, :] = hpx
+            p_oy[r2, :] = hpy
+            p_oz[r2, :] = hpz
+            p_dx[r2, :] = jnp.where(hit, sx_ * sinv, 0.0)
+            p_dy[r2, :] = jnp.where(hit, sy_ * sinv, 1.0)
+            p_dz[r2, :] = jnp.where(hit, sz_ * sinv, 0.0)
+            # Liveness is the explicit hit mask (spawned on EVERY hit,
+            # even under TIR — RayTracing.hlsl:110).
+            p_cull[r2, :] = jnp.where(hit, cu, 0.0)
+            p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
+
+    jax.lax.fori_loop(0, group, tile, 0)
+
+
+def _pick_group(n_tiles: int) -> int:
+    for g in (16, 8, 4, 2, 1):
+        if n_tiles % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_refract", "max_reflect",
+                     "env_h", "env_w", "interpret"),
+)
+def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
+               env_flat, scalars, width, height, spp, max_refract,
+               max_reflect, env_h, env_w, interpret=False):
+    """Render one frame fully on-device; returns (r, g, b) tile-order
+    (rows, 128) radiance planes for an image padded to whole 32x32 tiles.
+
+    ``scalars`` is the flat float32 vector described at the top of this
+    module (camera + limits + jitter). width/height are the *unpadded*
+    image dims (raygen NDC scale); the output covers the padded grid.
+    """
+    h_pad = ((height + TILE_H - 1) // TILE_H) * TILE_H
+    w_pad = ((width + TILE_W - 1) // TILE_W) * TILE_W
+    tiles_x = w_pad // TILE_W
+    n_tiles = (h_pad // TILE_H) * tiles_x
+    group = _pick_group(n_tiles)
+    grid = n_tiles // group
+    rows = n_tiles * _SUB
+
+    cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
+    env_rows = env_flat.shape[0] // 3
+    n_slots = 2 ** max(min(max_reflect, max_refract), 0)
+
+    out_spec = pl.BlockSpec((group * _SUB, _LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    f32_out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
+
+    kern = functools.partial(
+        _frame_kernel,
+        cluster_size=cluster_size, env_h=env_h, env_w=env_w,
+        env_rows=env_rows, width=width, height=height, tiles_x=tiles_x,
+        group=group, spp=spp, max_refract=max_refract,
+        max_reflect=max_reflect, n_slots=n_slots,
+    )
+    pool = lambda dt: pltpu.VMEM((n_slots * _SUB, _LANE), dt)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tris flat
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # normals flat
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # subclusters flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # env (3R, 128)
+        ],
+        out_specs=(out_spec,) * 3,
+        out_shape=(f32_out,) * 3,
+        scratch_shapes=[
+            pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
+            pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
+            pool(jnp.float32), pool(jnp.float32),
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad r
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad g
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad b
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_t
+            pltpu.VMEM((_SUB, _LANE), jnp.int32),    # best_i
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nx
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_ny
+            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nz
+            pltpu.SMEM((n_slots,), jnp.int32),       # per-slot live flags
+        ],
+        interpret=interpret,
+    )(
+        scalars, tri_packed.reshape(-1), tri_norm_packed.reshape(-1),
+        cluster_bounds.reshape(-1), sub_bounds.reshape(-1), env_flat,
+    )
+
+
+def build_scalars(frame, cfg, offsets) -> jnp.ndarray:
+    """Pack the per-frame scalar vector (host side, tiny).
+
+    ``frame`` is a camera.CameraFrame; ``offsets`` the (spp, 2) sub-pixel
+    jitter table from render.sample_offsets."""
+    import numpy as np
+
+    p = np.asarray(frame.proj_inv, np.float32)
+    vals = [p[0, 0], p[0, 1], p[0, 3],
+            p[1, 0], p[1, 1], p[1, 3],
+            p[2, 0], p[2, 1], p[2, 3],
+            frame.origin[0], frame.origin[1], frame.origin[2],
+            cfg.primary_tmin, cfg.primary_tmax,
+            cfg.secondary_tmin, cfg.secondary_tmax,
+            cfg.ior, cfg.fresnel_r0]
+    for k in range(offsets.shape[0]):
+        vals += [float(offsets[k, 0]), float(offsets[k, 1])]
+    return jnp.asarray(np.asarray(vals, np.float32))
+
+
+def render_frame_fused(scene, frame, cfg, interpret: bool = False):
+    """(scene, CameraFrame, cfg) -> (H, W, 3) linear radiance image."""
+    from refraction_tpu.render import sample_offsets, untile_order
+
+    offsets = sample_offsets(cfg.spp)
+    scalars = build_scalars(frame, cfg, offsets)
+    env_h, env_w = scene.envmap.shape[0], scene.envmap.shape[1]
+    env_flat = scene.env_packed.reshape(-1, _LANE)
+    r, g, b = frame_call(
+        scene.tri_packed, scene.tri_norm_packed, scene.cluster_bounds,
+        scene.sub_bounds, env_flat, scalars,
+        width=cfg.width, height=cfg.height, spp=cfg.spp,
+        max_refract=cfg.max_refract_depth, max_reflect=cfg.max_reflect_depth,
+        env_h=env_h, env_w=env_w, interpret=interpret,
+    )
+    h_pad = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
+    w_pad = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
+    rad = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+    img = untile_order(rad, h_pad, w_pad).reshape(h_pad, w_pad, 3)
+    return img[:cfg.height, :cfg.width]

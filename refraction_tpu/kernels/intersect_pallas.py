@@ -54,7 +54,6 @@ BIG = 3.0e38  # python float: becomes an inline literal inside the kernel
 def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, ox, oy, oz,
             dx, dy, dz, cull, t_out, i_out, nx_out, ny_out, nz_out,
             best_t, best_i, best_nx, best_ny, best_nz,
-            words_sm, ent_sm, sfx_sm,
             cluster_size: int):
     tmin = limits_sm[0]
     tmax = limits_sm[1]
@@ -76,7 +75,6 @@ def _kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, ox, oy, oz,
             lambda v: ny_out.__setitem__((rows, slice(None)), v),
             lambda v: nz_out.__setitem__((rows, slice(None)), v),
             best_t, best_i, best_nx, best_ny, best_nz,
-            words_sm, ent_sm, sfx_sm,
         )
         return 0
 
@@ -87,13 +85,11 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
                  tri_sm, norm_sm, cluster_sm, subs_sm,
                  o_x, o_y, o_z, d_x, d_y, d_z, cu,
                  put_t, put_i, put_nx, put_ny, put_nz,
-                 best_t, best_i, best_nx, best_ny, best_nz,
-                 words_sm, ent_sm, sfx_sm):
+                 best_t, best_i, best_nx, best_ny, best_nz):
     traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
-                  best_t, best_i, best_nx, best_ny, best_nz,
-                  words_sm, ent_sm, sfx_sm)
+                  best_t, best_i, best_nx, best_ny, best_nz)
     put_t(best_t[:])
     put_i(best_i[:])
     put_nx(best_nx[:])
@@ -105,17 +101,30 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
                   best_t, best_i, best_nx, best_ny, best_nz,
-                  words_sm, ent_sm, sfx_sm):
+                  any_hit: bool = False):
     """Closest-hit traversal of one (8,128) ray tile; results land in the
-    best_* scratch refs (t=BIG where no hit). Shared by the standalone
-    closest-hit kernel and the fused wavefront megakernel."""
+    best_* scratch refs. Shared by the standalone closest-hit kernel and
+    the fused wavefront megakernels.
+
+    best_t is initialized to ``tmax`` so the range test folds into the
+    closest-hit update (`t < best_t`); "no hit" is therefore
+    ``best_t >= tmax``, and a winner at exactly t == tmax is dropped — a
+    measure-zero deviation from the inclusive reference test
+    (RayTracing.hlsl:60 TMax), recorded in PARITY.md.
+
+    With ``any_hit=True`` (the final bounce round, where hits contribute
+    black and only the hit/miss decision matters — RayTracing.hlsl:82)
+    the winner's index/normal tracking is skipped and a lane's best_t is
+    dropped to -1 on its first accepted hit, which removes it from every
+    later box's improvability bits — the scan drains itself."""
     alive = cu != 0.0
 
-    best_t[:] = jnp.full((_SUB, _LANE), jnp.float32(BIG))
-    best_i[:] = jnp.zeros((_SUB, _LANE), jnp.int32)
-    best_nx[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
-    best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
-    best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+    best_t[:] = jnp.broadcast_to(tmax, (_SUB, _LANE))
+    if not any_hit:
+        best_i[:] = jnp.zeros((_SUB, _LANE), jnp.int32)
+        best_nx[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+        best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
+        best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
 
     # Safe reciprocal directions for the conservative slab test: clamping
     # tiny components can only widen the hit interval (false positives are
@@ -182,13 +191,18 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         def group_body(g, _):
             rel0 = g * _GROUP_BITS
             bits = jnp.zeros((_SUB, _LANE), jnp.int32)
+            cur_best = best_t[:]
             for b in range(min(_GROUP_BITS, count)):
                 rel = rel0 + b
                 idx = start + jnp.minimum(rel, count - 1)
-                m = slab_mask(bounds_sm, idx * 6)
+                m, enter = slab_mask_entry(bounds_sm, idx * 6)
+                # Improvability: a box only matters to a lane whose current
+                # best hit is farther than the box entry — per-lane early
+                # termination folded into the overlap bit for free.
                 in_range = rel < count
                 bits = bits | jnp.where(
-                    m & in_range, jnp.int32(1 << b), jnp.int32(0)
+                    m & (enter < cur_best) & in_range,
+                    jnp.int32(1 << b), jnp.int32(0)
                 )
             word = or_reduce_scalar(bits)
 
@@ -209,7 +223,12 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
     subs_per_cluster = cluster_size // 8
 
-    def tri_body(ti, _):
+    def tri_body(ti, best):
+        """One Möller–Trumbore test against the whole tile; ``best`` is the
+        register-carried (t, i, nx, ny, nz) winner state (t only in
+        any-hit mode) — values, not scratch refs, so the 8-triangle
+        unroll below has no false memory dependencies and the VLIW
+        scheduler can software-pipeline consecutive triangles."""
         tb = ti * 9
         a0 = tri_sm[tb + 0]
         a1 = tri_sm[tb + 1]
@@ -240,23 +259,32 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         v_num = d_x * qx + d_y * qy + d_z * qz
         t_num = e20 * qx + e21 * qy + e22 * qz
 
-        inv_det = 1.0 / jnp.where(det == 0.0, jnp.float32(1.0), det)
+        # Unguarded: det == 0 makes t/u/v garbage, but `accept` is then
+        # false (0 * cu > 0 fails), so the garbage can never be selected
+        # (float division by zero does not trap on TPU).
+        inv_det = 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
         t = t_num * inv_det
 
         cond = (
             accept
-            & (det != 0.0)
             & (u >= 0.0)
             & (v >= 0.0)
             & (u + v <= 1.0)
             & (t >= tmin)
-            & (t <= tmax)
         )
-        upd = cond & (t < best_t[:])
-        best_t[:] = jnp.where(upd, t, best_t[:])
-        best_i[:] = jnp.where(upd, ti, best_i[:])
+        # t <= tmax folds into the strict best test (best_t starts at tmax).
+        if any_hit:
+            (bt,) = best
+            upd = cond & (t < bt)
+            # Mark and retire the lane (see docstring).
+            return (jnp.where(upd, jnp.float32(-1.0), bt),)
+
+        bt, bi, bx, by, bz = best
+        upd = cond & (t < bt)
+        bt = jnp.where(upd, t, bt)
+        bi = jnp.where(upd, ti, bi)
 
         # Interpolated (unnormalized) shading normal of the winning
         # triangle (RayTracing.hlsl:83-86), tracked in-kernel so the
@@ -271,93 +299,45 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         nc0 = norm_sm[tb + 6]
         nc1 = norm_sm[tb + 7]
         nc2 = norm_sm[tb + 8]
-        best_nx[:] = jnp.where(upd, na0 + u * nb0 + v * nc0, best_nx[:])
-        best_ny[:] = jnp.where(upd, na1 + u * nb1 + v * nc1, best_ny[:])
-        best_nz[:] = jnp.where(upd, na2 + u * nb2 + v * nc2, best_nz[:])
-        return 0
+        bx = jnp.where(upd, na0 + u * nb0 + v * nc0, bx)
+        by = jnp.where(upd, na1 + u * nb1 + v * nc1, by)
+        bz = jnp.where(upd, na2 + u * nb2 + v * nc2, bz)
+        return bt, bi, bx, by, bz
 
     def visit_sub(si):
-        # 2x manual unroll: interleaves two triangles' scalar loads with
-        # vector math so the scalar core stays ahead of the VPU.
-        def two(k, c):
-            tri_body(si * 8 + 2 * k, c)
-            tri_body(si * 8 + 2 * k + 1, c)
-            return c
-
-        jax.lax.fori_loop(0, 4, two, 0)
+        # Fully unrolled 8-triangle subcluster with register-carried
+        # winner state: one scratch read + one write per subcluster.
+        if any_hit:
+            best = (best_t[:],)
+        else:
+            best = (best_t[:], best_i[:], best_nx[:], best_ny[:],
+                    best_nz[:])
+        for k in range(8):
+            best = tri_body(si * 8 + k, best)
+        best_t[:] = best[0]
+        if not any_hit:
+            best_i[:] = best[1]
+            best_nx[:] = best[2]
+            best_ny[:] = best[3]
+            best_nz[:] = best[4]
 
     def visit_cluster(ci):
         # Fine level: bitmask-gated 8-tri subclusters within the cluster.
         gated_loop(subs_sm, ci * subs_per_cluster, subs_per_cluster,
                    visit_sub)
 
-    # ---- Coarse level: Morton-order bitmask gates + group-granular early
-    # termination. (A per-cluster near-to-far ordered visit was tried and
-    # benchmarked 4x SLOWER — the per-visit while_loop + scalar argmin
-    # serialized the VPU. This variant keeps the static Morton loop and
-    # adds one suffix-min bound check per 16-cluster group: once every
-    # live lane's best hit is nearer than the closest entry of all
-    # REMAINING groups, the rest of the scene is skipped.)
-    n_groups = (num_clusters + _GROUP_BITS - 1) // _GROUP_BITS
-
-    if n_groups > 4:
-        # Many-group scenes (e.g. ott.obj: 13 groups) pay the per-group
-        # entry/bound roll trees without the exit firing often enough
-        # (measured +20% frame time) — use the plain bitmask loop.
-        gated_loop(cluster_sm, jnp.int32(0), num_clusters, visit_cluster)
-        return
-
-    # Phase A: per-group overlap word + min entry distance (roll trees).
-    def scan_a(g, _):
-        rel0 = g * _GROUP_BITS
-        bits = jnp.zeros((_SUB, _LANE), jnp.int32)
-        ent = jnp.full((_SUB, _LANE), jnp.float32(BIG))
-        for b in range(min(_GROUP_BITS, num_clusters)):
-            rel = rel0 + b
-            idx = jnp.minimum(rel, num_clusters - 1)
-            m, enter = slab_mask_entry(cluster_sm, idx * 6)
-            mm = m & (rel < num_clusters)
-            bits = bits | jnp.where(mm, jnp.int32(1 << b), jnp.int32(0))
-            ent = jnp.minimum(ent, jnp.where(mm, enter, jnp.float32(BIG)))
-        words_sm[g] = or_reduce_scalar(bits)
-        ent_sm[g] = _roll_tree(ent, jnp.minimum)
-        return 0
-
-    jax.lax.fori_loop(0, n_groups, scan_a, 0)
-
-    # Phase B: exclusive suffix minimum of group entries.
-    sfx_sm[n_groups] = jnp.float32(BIG)
-
-    def scan_b(i, _):
-        g = n_groups - 1 - i
-        sfx_sm[g] = jnp.minimum(ent_sm[g], sfx_sm[g + 1])
-        return 0
-
-    jax.lax.fori_loop(0, n_groups, scan_b, 0)
-
-    # Phase C: visit groups; stop once no remaining group can improve any
-    # live lane (lanes without a hit hold best_t = BIG, so the bound only
-    # drops below a group entry when every live lane has a nearer hit).
-    def visit_group(g, done):
-        word = words_sm[g]
-
-        @pl.when(jnp.logical_not(done) & (word != 0))
-        def _():
-            def bit_body(b, _):
-                @pl.when((word >> b) & 1 != 0)
-                def _():
-                    visit_cluster(g * _GROUP_BITS + b)
-
-                return 0
-
-            jax.lax.fori_loop(0, min(_GROUP_BITS, num_clusters), bit_body, 0)
-
-        bound = _roll_tree(
-            jnp.where(alive, best_t[:], jnp.float32(0.0)), jnp.maximum
-        )
-        return done | (bound <= sfx_sm[g + 1])
-
-    jax.lax.fori_loop(0, n_groups, visit_group, jnp.bool_(False))
+    # ---- Coarse level: Morton-order bitmask gates over clusters.
+    # Early termination lives *inside the bitmask scans* (gated_loop folds
+    # a per-lane `entry <= best_t` improvability test into the overlap
+    # bits): as the visit sequence tightens best_t, later subcluster — and
+    # for multi-group scenes later cluster — scans prune boxes no live
+    # lane can improve, at 2 vector ops per box and ZERO extra scalar
+    # reductions. (Scalar-granular variants were both tried and were
+    # slower: a near-to-far ordered visit benchmarked 4x worse — the
+    # per-visit while_loop + argmin serialized the VPU — and a per-cluster
+    # roll-tree bound check cost ~7 ms/frame at 1080p: every vector->
+    # scalar reduction + branch stalls the in-order pipeline ~1 us.)
+    gated_loop(cluster_sm, jnp.int32(0), num_clusters, visit_cluster)
 
 
 def _pad_rays(x, n_pad):
@@ -377,7 +357,6 @@ def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
     def comp(x, i):
         return x[:, i].reshape(rows, _LANE)
 
-    n_grp = (cluster_bounds.shape[0] + 15) // 16
     block_rows = _SUB * GROUP
     ray_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -409,9 +388,6 @@ def _pallas_closest(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
-            pltpu.SMEM((n_grp,), jnp.int32),
-            pltpu.SMEM((n_grp,), jnp.float32),
-            pltpu.SMEM((n_grp + 1,), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -466,6 +442,6 @@ def pallas_intersect(scene: Scene, origins, dirs, want_front, alive,
     )
     t = t[:n]
     idx = idx[:n]
-    hit = t < jnp.float32(1.0e37)
+    hit = t < tmax  # best_t inits at tmax; miss lanes stay there
     normal = jnp.stack([nx[:n], ny[:n], nz[:n]], axis=-1)
     return hit, t, idx, normal

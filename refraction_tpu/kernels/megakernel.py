@@ -46,7 +46,6 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                  hx, hy, hz, fx, fy, fz, f_cull, f_wgt,
                  lx, ly, lz, l_wgt,
                  best_t, best_i, best_nx, best_ny, best_nz,
-                 words_sm, ent_sm, sfx_sm,
                  cluster_size: int, env_h: int, env_w: int,
                  env_rows: int, want_reflect: bool = True,
                  want_children: bool = True):
@@ -97,11 +96,10 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
         traverse_tile(tmin, tmax, num_clusters, cluster_size,
                       tri_sm, norm_sm, cluster_sm, subs_sm,
                       o_x, o_y, o_z, d_x, d_y, d_z, cu,
-                      best_t, best_i, best_nx, best_ny, best_nz,
-                      words_sm, ent_sm, sfx_sm)
+                      best_t, best_i, best_nx, best_ny, best_nz)
 
         t = best_t[:]
-        hit = (t < jnp.float32(1.0e37)) & alive
+        hit = (t < tmax) & alive
         miss = alive & ~hit
 
         # ---- Miss: weighted envmap radiance (RayTracing.hlsl:127-137) ----
@@ -209,7 +207,6 @@ def mega_round(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
     rows = ox.shape[0]
     grid = rows // (_SUB * GROUP)
     cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
-    n_grp = (cluster_bounds.shape[0] + 15) // 16
     env_rows = env_flat.shape[0] // 3
 
     spec = pl.BlockSpec((_SUB * GROUP, _LANE), lambda i: (i, 0),
@@ -250,9 +247,6 @@ def mega_round(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
             pltpu.VMEM((_SUB, _LANE), jnp.float32),
-            pltpu.SMEM((n_grp,), jnp.int32),
-            pltpu.SMEM((n_grp,), jnp.float32),
-            pltpu.SMEM((n_grp + 1,), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -268,7 +262,6 @@ def _mega_kernel_norefl(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                         rad_r, rad_g, rad_b,
                         hx, hy, hz, fx, fy, fz, f_cull, f_wgt,
                         best_t, best_i, best_nx, best_ny, best_nz,
-                        words_sm, ent_sm, sfx_sm,
                         cluster_size, env_h, env_w, env_rows):
     _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                  ox, oy, oz, dx, dy, dz, cull, wgt,
@@ -276,7 +269,6 @@ def _mega_kernel_norefl(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                  hx, hy, hz, fx, fy, fz, f_cull, f_wgt,
                  None, None, None, None,
                  best_t, best_i, best_nx, best_ny, best_nz,
-                 words_sm, ent_sm, sfx_sm,
                  cluster_size=cluster_size, env_h=env_h, env_w=env_w,
                  env_rows=env_rows, want_reflect=False)
 
@@ -285,7 +277,6 @@ def _mega_kernel_missonly(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                           env_ref, ox, oy, oz, dx, dy, dz, cull, wgt,
                           rad_r, rad_g, rad_b,
                           best_t, best_i, best_nx, best_ny, best_nz,
-                          words_sm, ent_sm, sfx_sm,
                           cluster_size, env_h, env_w, env_rows):
     _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                  ox, oy, oz, dx, dy, dz, cull, wgt,
@@ -293,7 +284,6 @@ def _mega_kernel_missonly(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                  None, None, None, None, None, None, None, None,
                  None, None, None, None,
                  best_t, best_i, best_nx, best_ny, best_nz,
-                 words_sm, ent_sm, sfx_sm,
                  cluster_size=cluster_size, env_h=env_h, env_w=env_w,
                  env_rows=env_rows, want_reflect=False,
                  want_children=False)

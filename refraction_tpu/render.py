@@ -89,6 +89,35 @@ def make_renderer(
             mega = backend.name == "pallas"
     offsets = sample_offsets(cfg.spp)
 
+    if mega:
+        # Fully fused whole-frame kernel: raygen + bounce tree + env in ONE
+        # Pallas call (kernels/framekernel.py) — the TPU analogue of the
+        # reference's single DispatchRays (RefractionDemo.cpp:589-594).
+        from refraction_tpu.kernels.framekernel import (
+            build_scalars, frame_call)
+
+        h_pad_f = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
+        w_pad_f = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
+
+        @jax.jit
+        def _render_fused(scene: Scene, scalars: jnp.ndarray):
+            r, g, b = frame_call(
+                scene.tri_packed, scene.tri_norm_packed,
+                scene.cluster_bounds, scene.sub_bounds,
+                scene.env_packed.reshape(-1, 128), scalars,
+                width=cfg.width, height=cfg.height, spp=cfg.spp,
+                max_refract=cfg.max_refract_depth,
+                max_reflect=cfg.max_reflect_depth,
+                env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
+            )
+            rad = jnp.stack(
+                [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
+            img = untile_order(rad, h_pad_f, w_pad_f)
+            return img.reshape(h_pad_f, w_pad_f, 3)[:cfg.height, :cfg.width]
+
+        def render_fused(scene: Scene, frame: CameraFrame) -> jnp.ndarray:
+            return _render_fused(scene, build_scalars(frame, cfg, offsets))
+
     def _mega_ok(scene: Scene) -> bool:
         # The fused kernel keeps the envmap in VMEM (~16 MB total incl. ray
         # tiles) and the triangle tables in SMEM (1 MB); larger scenes fall
@@ -122,22 +151,17 @@ def make_renderer(
                 frame, cfg.width, cfg.height,
                 jitter=None if cfg.spp == 1 else jitter, xp=jnp,
             )
-            if mega and _mega_ok(scene):
-                from refraction_tpu.integrator import render_pixels_mega
-
-                acc = acc + render_pixels_mega(
-                    scene, _pad_tile(o), _pad_tile(d), cfg
-                )
-            else:
-                acc = acc + render_pixels(
-                    scene, _pad_tile(o), _pad_tile(d), cfg, intersect_fn,
-                    env_fn,
-                )
+            acc = acc + render_pixels(
+                scene, _pad_tile(o), _pad_tile(d), cfg, intersect_fn,
+                env_fn,
+            )
         img = untile_order(acc * inv_spp, h_pad, w_pad)
         img = img.reshape(h_pad, w_pad, 3)
         return img[:cfg.height, :cfg.width]
 
     def render(scene: Scene, frame: CameraFrame) -> jnp.ndarray:
+        if mega and _mega_ok(scene):
+            return render_fused(scene, frame)
         return _render(
             scene,
             jnp.asarray(frame.proj_inv, jnp.float32),

@@ -1,0 +1,112 @@
+"""Fused whole-frame kernel (kernels/framekernel.py) vs the XLA reference
+renderer — in-kernel raygen, bounce tree, env shading, spp loop.
+
+Interpret mode on CPU; the same kernel compiles for TPU (covered by the
+-m tpu tier in test_tpu_golden.py)."""
+
+import numpy as np
+import pytest
+
+from refraction_tpu.camera import orbit_camera
+from refraction_tpu.config import RenderConfig
+from refraction_tpu.io.primitives import (
+    make_cube,
+    make_gradient_envmap,
+    make_icosphere,
+)
+from refraction_tpu.kernels.framekernel import render_frame_fused
+from refraction_tpu.render import make_renderer
+from refraction_tpu.scene import build_scene
+
+
+def _rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    scene, _ = build_scene(
+        make_icosphere(2), make_gradient_envmap(64, 128), cluster_size=32
+    )
+    return scene
+
+
+def _xla_image(scene, cfg):
+    return make_renderer(cfg, use_mega=False)(scene, orbit_camera(0.3, cfg))
+
+
+def test_fused_matches_xla_sphere(sphere_scene):
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       backend="xla")
+    ref = _xla_image(sphere_scene, cfg)
+    fused = render_frame_fused(
+        sphere_scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert fused.shape == (64, 96, 3)
+    assert _rmse(ref, fused) < 1e-5
+
+
+def test_fused_matches_xla_cube():
+    scene, _ = build_scene(
+        make_cube(), make_gradient_envmap(32, 64), cluster_size=32)
+    cfg = RenderConfig(width=64, height=64, max_refract_depth=3,
+                       backend="xla")
+    ref = _xla_image(scene, cfg)
+    fused = render_frame_fused(
+        scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
+
+
+def test_fused_spp_loop(sphere_scene):
+    """Supersampling runs inside the kernel (BASELINE config 5 regime)."""
+    cfg = RenderConfig(width=64, height=64, max_refract_depth=3, spp=4,
+                       backend="xla")
+    ref = _xla_image(sphere_scene, cfg)
+    fused = render_frame_fused(
+        sphere_scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
+
+
+def test_fused_no_reflection_slots(sphere_scene):
+    """max_reflect_depth=0 collapses the pool to one slot."""
+    cfg = RenderConfig(width=64, height=64, max_refract_depth=3,
+                       max_reflect_depth=0, backend="xla")
+    ref = _xla_image(sphere_scene, cfg)
+    fused = render_frame_fused(
+        sphere_scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
+
+
+def test_fused_nonaligned_resolution(sphere_scene):
+    """Width/height not multiples of 32 exercise the pad+crop path."""
+    cfg = RenderConfig(width=70, height=50, max_refract_depth=2,
+                       backend="xla")
+    ref = _xla_image(sphere_scene, cfg)
+    fused = render_frame_fused(
+        sphere_scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert fused.shape == (50, 70, 3)
+    assert _rmse(ref, fused) < 1e-5
+
+
+def test_renderer_routes_fused(sphere_scene, monkeypatch):
+    """make_renderer on the pallas backend goes through the fused path."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    calls = {}
+    orig = fk.frame_call
+
+    def spy(*a, **kw):
+        calls["hit"] = True
+        kw["interpret"] = True  # CPU test host
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fk, "frame_call", spy)
+    cfg = RenderConfig(width=64, height=64, max_refract_depth=2,
+                       backend="pallas")
+    img = make_renderer(cfg)(sphere_scene, orbit_camera(0.3, cfg))
+    assert calls.get("hit")
+    cfg_x = RenderConfig(width=64, height=64, max_refract_depth=2,
+                         backend="xla")
+    ref = _xla_image(sphere_scene, cfg_x)
+    ref2 = make_renderer(cfg_x, use_mega=False)(
+        sphere_scene, orbit_camera(0.3, cfg_x))
+    assert _rmse(img, ref2) < 1e-5
