@@ -63,7 +63,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                   *, cluster_size: int, env_h: int, env_w: int, env_rows: int,
                   width: int, height: int, tiles_x: int, group: int,
                   spp: int, max_refract: int, max_reflect: int,
-                  n_slots: int):
+                  n_slots: int, stream=None):
     num_clusters = cluster_sm.shape[0] // 6
     i = pl.program_id(0)
     f32 = jnp.float32
@@ -212,7 +212,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                       tri_sm, norm_sm, cluster_sm, subs_sm,
                       o_x, o_y, o_z, d_x, d_y, d_z, cu,
                       best_t, best_i, best_nx, best_ny, best_nz,
-                      any_hit=is_last)
+                      any_hit=is_last, stream=stream)
 
         t = best_t[:]
         hit = (t < tmax) & alive
@@ -298,6 +298,24 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
     jax.lax.fori_loop(0, group, tile, 0)
 
 
+def _frame_kernel_streamed(scalars_sm, records, cluster_sm, env_ref,
+                           out_r, out_g, out_b,
+                           p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
+                           rad_r, rad_g, rad_b,
+                           best_t, best_i, best_nx, best_ny, best_nz,
+                           flags_sm, rec_scratch, dma_sems, **kw):
+    """Streamed-geometry arity adapter: triangle/normal/subcluster data
+    arrives per visited cluster via HBM->SMEM DMA (traverse_tile stream
+    mode) instead of SMEM-resident tables."""
+    _frame_kernel(scalars_sm, None, None, cluster_sm, None, env_ref,
+                  out_r, out_g, out_b,
+                  p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
+                  rad_r, rad_g, rad_b,
+                  best_t, best_i, best_nx, best_ny, best_nz,
+                  flags_sm,
+                  stream=(records, rec_scratch, dma_sems), **kw)
+
+
 def _pick_group(n_tiles: int) -> int:
     for g in (16, 8, 4, 2, 1):
         if n_tiles % g == 0:
@@ -308,18 +326,28 @@ def _pick_group(n_tiles: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_refract", "max_reflect",
-                     "env_h", "env_w", "interpret"),
+                     "env_h", "env_w", "interpret", "cluster_size"),
 )
 def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
                env_flat, scalars, width, height, spp, max_refract,
-               max_reflect, env_h, env_w, interpret=False):
+               max_reflect, env_h, env_w, interpret=False,
+               cluster_records=None, cluster_size=None):
     """Render one frame fully on-device; returns (r, g, b) tile-order
     (rows, 128) radiance planes for an image padded to whole 32x32 tiles.
 
     ``scalars`` is the flat float32 vector described at the top of this
     module (camera + limits + jitter). width/height are the *unpadded*
     image dims (raygen NDC scale); the output covers the padded grid.
+
+    Pass ``cluster_records`` (scene.cluster_records) with tri_packed /
+    tri_norm_packed / sub_bounds set to None to select the size-agnostic
+    streaming path: triangle data lives in HBM and visited clusters are
+    DMA'd into a 16-slot SMEM ring (traverse_tile stream mode) — for
+    scenes whose tables exceed the SMEM budget.
     """
+    streamed = tri_packed is None
+    assert (not streamed) or cluster_size is not None, (
+        "streamed mode needs an explicit static cluster_size")
     h_pad = ((height + TILE_H - 1) // TILE_H) * TILE_H
     w_pad = ((width + TILE_W - 1) // TILE_W) * TILE_W
     tiles_x = w_pad // TILE_W
@@ -328,7 +356,8 @@ def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
     grid = n_tiles // group
     rows = n_tiles * _SUB
 
-    cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
+    if not streamed:
+        cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
     env_rows = env_flat.shape[0] // 3
     n_slots = 2 ** max(min(max_reflect, max_refract), 0)
 
@@ -336,46 +365,67 @@ def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
                             memory_space=pltpu.VMEM)
     f32_out = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
 
-    kern = functools.partial(
-        _frame_kernel,
+    static_kw = dict(
         cluster_size=cluster_size, env_h=env_h, env_w=env_w,
         env_rows=env_rows, width=width, height=height, tiles_x=tiles_x,
         group=group, spp=spp, max_refract=max_refract,
         max_reflect=max_reflect, n_slots=n_slots,
     )
     pool = lambda dt: pltpu.VMEM((n_slots * _SUB, _LANE), dt)  # noqa: E731
-    return pl.pallas_call(
-        kern,
-        grid=(grid,),
-        in_specs=[
+    scratch = [
+        pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
+        pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
+        pool(jnp.float32), pool(jnp.float32),
+        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad r
+        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad g
+        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad b
+        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_t
+        pltpu.VMEM((_SUB, _LANE), jnp.int32),    # best_i
+        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nx
+        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_ny
+        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nz
+        pltpu.SMEM((n_slots,), jnp.int32),       # per-slot live flags
+    ]
+    if streamed:
+        from refraction_tpu.kernels.intersect_pallas import (
+            N_STREAM_SLOTS, rec_pad_for)
+
+        rec_pad = rec_pad_for(cluster_size)
+        kern = functools.partial(_frame_kernel_streamed, **static_kw)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
+            pl.BlockSpec(memory_space=pltpu.ANY),    # cluster records (HBM)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # env (3R, 128)
+        ]
+        operands = (scalars, cluster_records, cluster_bounds.reshape(-1),
+                    env_flat)
+        scratch += [
+            pltpu.SMEM((N_STREAM_SLOTS * rec_pad,), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_STREAM_SLOTS,)),
+        ]
+    else:
+        kern = functools.partial(_frame_kernel, **static_kw)
+        in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tris flat
             pl.BlockSpec(memory_space=pltpu.SMEM),   # normals flat
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
             pl.BlockSpec(memory_space=pltpu.SMEM),   # subclusters flat
             pl.BlockSpec(memory_space=pltpu.VMEM),   # env (3R, 128)
-        ],
+        ]
+        operands = (scalars, tri_packed.reshape(-1),
+                    tri_norm_packed.reshape(-1), cluster_bounds.reshape(-1),
+                    sub_bounds.reshape(-1), env_flat)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
         out_specs=(out_spec,) * 3,
         out_shape=(f32_out,) * 3,
-        scratch_shapes=[
-            pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
-            pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
-            pool(jnp.float32), pool(jnp.float32),
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad r
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad g
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad b
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_t
-            pltpu.VMEM((_SUB, _LANE), jnp.int32),    # best_i
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nx
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_ny
-            pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nz
-            pltpu.SMEM((n_slots,), jnp.int32),       # per-slot live flags
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(
-        scalars, tri_packed.reshape(-1), tri_norm_packed.reshape(-1),
-        cluster_bounds.reshape(-1), sub_bounds.reshape(-1), env_flat,
-    )
+    )(*operands)
 
 
 def build_scalars(frame, cfg, offsets) -> jnp.ndarray:
@@ -398,7 +448,19 @@ def build_scalars(frame, cfg, offsets) -> jnp.ndarray:
     return jnp.asarray(np.asarray(vals, np.float32))
 
 
-def render_frame_fused(scene, frame, cfg, interpret: bool = False):
+SMEM_TABLE_BUDGET = 1000 * 2 ** 10  # resident tri tables cap (bytes)
+
+
+def fits_smem(scene) -> bool:
+    """Whether the scene's triangle tables fit SMEM-resident; otherwise
+    the streaming (HBM-record DMA) traversal is used."""
+    n = (scene.tri_packed.size + scene.tri_norm_packed.size
+         + scene.cluster_bounds.size + scene.sub_bounds.size)
+    return n * 4 <= SMEM_TABLE_BUDGET
+
+
+def render_frame_fused(scene, frame, cfg, interpret: bool = False,
+                       streamed: bool | None = None):
     """(scene, CameraFrame, cfg) -> (H, W, 3) linear radiance image."""
     from refraction_tpu.render import sample_offsets, untile_order
 
@@ -406,9 +468,18 @@ def render_frame_fused(scene, frame, cfg, interpret: bool = False):
     scalars = build_scalars(frame, cfg, offsets)
     env_h, env_w = scene.envmap.shape[0], scene.envmap.shape[1]
     env_flat = scene.env_packed.reshape(-1, _LANE)
+    if streamed is None:
+        streamed = not fits_smem(scene)
+    if streamed:
+        geom = (None, None, scene.cluster_bounds, None)
+        rec = scene.cluster_records
+    else:
+        geom = (scene.tri_packed, scene.tri_norm_packed,
+                scene.cluster_bounds, scene.sub_bounds)
+        rec = None
+    cs = scene.tri_packed.shape[0] // scene.cluster_bounds.shape[0]
     r, g, b = frame_call(
-        scene.tri_packed, scene.tri_norm_packed, scene.cluster_bounds,
-        scene.sub_bounds, env_flat, scalars,
+        *geom, env_flat, scalars, cluster_records=rec, cluster_size=cs,
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         max_refract=cfg.max_refract_depth, max_reflect=cfg.max_reflect_depth,
         env_h=env_h, env_w=env_w, interpret=interpret,

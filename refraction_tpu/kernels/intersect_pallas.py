@@ -97,11 +97,26 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
     put_nz(best_nz[:])
 
 
+def rec_len_for(cluster_size: int) -> int:
+    """Used float count of one streamed cluster record:
+    [subcluster AABBs (cs/8 x 6) | tri9 x cs | norm9 x cs]."""
+    return (cluster_size // 8) * 6 + cluster_size * 18
+
+
+def rec_pad_for(cluster_size: int) -> int:
+    """Stored float count of one record: padded to a whole number of
+    (8, 128) tiles so HBM DMA slices meet Mosaic's tiling alignment."""
+    return ((rec_len_for(cluster_size) + 1023) // 1024) * 1024
+
+
+N_STREAM_SLOTS = 16  # one SMEM record slot per gating-word bit
+
+
 def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
                   best_t, best_i, best_nx, best_ny, best_nz,
-                  any_hit: bool = False):
+                  any_hit: bool = False, stream=None):
     """Closest-hit traversal of one (8,128) ray tile; results land in the
     best_* scratch refs. Shared by the standalone closest-hit kernel and
     the fused wavefront megakernels.
@@ -116,7 +131,18 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     black and only the hit/miss decision matters — RayTracing.hlsl:82)
     the winner's index/normal tracking is skipped and a lane's best_t is
     dropped to -1 on its first accepted hit, which removes it from every
-    later box's improvability bits — the scan drains itself."""
+    later box's improvability bits — the scan drains itself.
+
+    With ``stream=(records, rec_scratch, dma_sems)`` the per-cluster
+    triangle/normal/subcluster data is NOT SMEM-resident (tri_sm, norm_sm
+    and subs_sm must be None): only the cluster AABBs stay in SMEM, and
+    each gated cluster's record row of the HBM ``records`` array
+    (scene.cluster_records) is DMA'd into the 16-slot SMEM ``rec_scratch``
+    ring. All of a gating word's DMAs are issued before the first visit,
+    so transfers overlap the preceding clusters' triangle work. This is
+    the size-agnostic path (DXR's AS build+traverse never cared about
+    scene size — RefractionDemo.cpp:272-361): SMEM holds O(num_clusters)
+    bounds + a constant ring, whatever the triangle count."""
     alive = cu != 0.0
 
     best_t[:] = jnp.broadcast_to(tmax, (_SUB, _LANE))
@@ -178,14 +204,16 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
     _GROUP_BITS = 16  # AABBs gated per bitmask reduction
 
-    def gated_loop(bounds_sm, start, count, visit):
+    def gated_loop(bounds_ref, base, start, count, visit, pre_visit=None):
         """For i in [start, start+count): visit(i) iff any live lane
-        overlaps AABB i. ``count`` is static; ``start`` may be traced.
+        overlaps AABB i, whose bounds live at ``bounds_ref[base + i*6]``.
+        ``count`` is static; ``base``/``start`` may be traced.
 
         Overlap flags for groups of 16 AABBs are packed into per-lane
         bitmasks and OR-reduced across the tile once per group — one
         reduction per 16 boxes instead of a ~100-cycle scalar reduction
-        per box."""
+        per box. ``pre_visit(word, rel0)``, if given, runs between the
+        reduction and the visits (DMA issue hook for streaming)."""
         n_groups = (count + _GROUP_BITS - 1) // _GROUP_BITS
 
         def group_body(g, _):
@@ -195,7 +223,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             for b in range(min(_GROUP_BITS, count)):
                 rel = rel0 + b
                 idx = start + jnp.minimum(rel, count - 1)
-                m, enter = slab_mask_entry(bounds_sm, idx * 6)
+                m, enter = slab_mask_entry(bounds_ref, base + idx * 6)
                 # Improvability: a box only matters to a lane whose current
                 # best hit is farther than the box entry — per-lane early
                 # termination folded into the overlap bit for free.
@@ -208,6 +236,9 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
             @pl.when(word != 0)
             def _():
+                if pre_visit is not None:
+                    pre_visit(word, start + rel0)
+
                 def bit_body(b, _):
                     @pl.when((word >> b) & 1 != 0)
                     def _():
@@ -222,23 +253,47 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         jax.lax.fori_loop(0, n_groups, group_body, 0)
 
     subs_per_cluster = cluster_size // 8
+    if stream is not None:
+        assert tri_sm is None and norm_sm is None and subs_sm is None
+        records, rec_scratch, dma_sems = stream
+        rec_len = rec_pad_for(cluster_size)
+        tri_off = subs_per_cluster * 6
+        norm_off = tri_off + cluster_size * 9
 
-    def tri_body(ti, best):
+        def _rec_dma(ci, slot):
+            return pltpu.make_async_copy(
+                records.at[pl.ds(ci * rec_len, rec_len)],
+                rec_scratch.at[pl.ds(slot * rec_len, rec_len)],
+                dma_sems.at[slot],
+            )
+
+        def _issue_dmas(word, ci0):
+            def body(b, _):
+                @pl.when((word >> b) & 1 != 0)
+                def _():
+                    _rec_dma(ci0 + b, b).start()
+
+                return 0
+
+            jax.lax.fori_loop(0, _GROUP_BITS, body, 0)
+
+    def tri_body(ti, tref, tb, nref, nb, best):
         """One Möller–Trumbore test against the whole tile; ``best`` is the
         register-carried (t, i, nx, ny, nz) winner state (t only in
         any-hit mode) — values, not scratch refs, so the 8-triangle
         unroll below has no false memory dependencies and the VLIW
-        scheduler can software-pipeline consecutive triangles."""
-        tb = ti * 9
-        a0 = tri_sm[tb + 0]
-        a1 = tri_sm[tb + 1]
-        a2 = tri_sm[tb + 2]
-        e10 = tri_sm[tb + 3]
-        e11 = tri_sm[tb + 4]
-        e12 = tri_sm[tb + 5]
-        e20 = tri_sm[tb + 6]
-        e21 = tri_sm[tb + 7]
-        e22 = tri_sm[tb + 8]
+        scheduler can software-pipeline consecutive triangles. ``ti`` is
+        the global triangle index (winner id); (tref, tb)/(nref, nb)
+        locate its 9 floats of geometry/normals."""
+        a0 = tref[tb + 0]
+        a1 = tref[tb + 1]
+        a2 = tref[tb + 2]
+        e10 = tref[tb + 3]
+        e11 = tref[tb + 4]
+        e12 = tref[tb + 5]
+        e20 = tref[tb + 6]
+        e21 = tref[tb + 7]
+        e22 = tref[tb + 8]
 
         # pvec = cross(D, e2)
         px = d_y * e22 - d_z * e21
@@ -290,41 +345,67 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         # triangle (RayTracing.hlsl:83-86), tracked in-kernel so the
         # integrator never needs a per-ray table gather (XLA TPU
         # gathers at wavefront widths cost ~60 ms each).
-        na0 = norm_sm[tb + 0]
-        na1 = norm_sm[tb + 1]
-        na2 = norm_sm[tb + 2]
-        nb0 = norm_sm[tb + 3]
-        nb1 = norm_sm[tb + 4]
-        nb2 = norm_sm[tb + 5]
-        nc0 = norm_sm[tb + 6]
-        nc1 = norm_sm[tb + 7]
-        nc2 = norm_sm[tb + 8]
+        na0 = nref[nb + 0]
+        na1 = nref[nb + 1]
+        na2 = nref[nb + 2]
+        nb0 = nref[nb + 3]
+        nb1 = nref[nb + 4]
+        nb2 = nref[nb + 5]
+        nc0 = nref[nb + 6]
+        nc1 = nref[nb + 7]
+        nc2 = nref[nb + 8]
         bx = jnp.where(upd, na0 + u * nb0 + v * nc0, bx)
         by = jnp.where(upd, na1 + u * nb1 + v * nc1, by)
         bz = jnp.where(upd, na2 + u * nb2 + v * nc2, bz)
         return bt, bi, bx, by, bz
 
-    def visit_sub(si):
-        # Fully unrolled 8-triangle subcluster with register-carried
-        # winner state: one scratch read + one write per subcluster.
-        if any_hit:
-            best = (best_t[:],)
-        else:
-            best = (best_t[:], best_i[:], best_nx[:], best_ny[:],
-                    best_nz[:])
-        for k in range(8):
-            best = tri_body(si * 8 + k, best)
-        best_t[:] = best[0]
-        if not any_hit:
-            best_i[:] = best[1]
-            best_nx[:] = best[2]
-            best_ny[:] = best[3]
-            best_nz[:] = best[4]
+    def visit_subs(ci, tref, tri_base, nref, norm_base):
+        """Fine level for one cluster: bitmask-gated 8-tri subclusters,
+        fully unrolled with register-carried winner state (one scratch
+        read + one write per subcluster)."""
 
-    def visit_cluster(ci):
-        # Fine level: bitmask-gated 8-tri subclusters within the cluster.
-        gated_loop(subs_sm, ci * subs_per_cluster, subs_per_cluster,
-                   visit_sub)
+        def visit_sub(sl):
+            if any_hit:
+                best = (best_t[:],)
+            else:
+                best = (best_t[:], best_i[:], best_nx[:], best_ny[:],
+                        best_nz[:])
+            for k in range(8):
+                tl = sl * 8 + k
+                best = tri_body(ci * cluster_size + tl,
+                                tref, tri_base + tl * 9,
+                                nref, norm_base + tl * 9, best)
+            best_t[:] = best[0]
+            if not any_hit:
+                best_i[:] = best[1]
+                best_nx[:] = best[2]
+                best_ny[:] = best[3]
+                best_nz[:] = best[4]
+
+        return visit_sub
+
+    if stream is None:
+        def visit_cluster(ci):
+            gated_loop(
+                subs_sm, ci * subs_per_cluster * 6, jnp.int32(0),
+                subs_per_cluster,
+                visit_subs(ci, tri_sm, ci * cluster_size * 9,
+                           norm_sm, ci * cluster_size * 9),
+            )
+
+        pre = None
+    else:
+        def visit_cluster(ci):
+            slot = ci % N_STREAM_SLOTS  # == its gating-word bit
+            _rec_dma(ci, slot).wait()
+            base = slot * rec_len
+            gated_loop(
+                rec_scratch, base, jnp.int32(0), subs_per_cluster,
+                visit_subs(ci, rec_scratch, base + tri_off,
+                           rec_scratch, base + norm_off),
+            )
+
+        pre = _issue_dmas
 
     # ---- Coarse level: Morton-order bitmask gates over clusters.
     # Early termination lives *inside the bitmask scans* (gated_loop folds
@@ -337,7 +418,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # per-visit while_loop + argmin serialized the VPU — and a per-cluster
     # roll-tree bound check cost ~7 ms/frame at 1080p: every vector->
     # scalar reduction + branch stalls the in-order pipeline ~1 us.)
-    gated_loop(cluster_sm, jnp.int32(0), num_clusters, visit_cluster)
+    gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_clusters,
+               visit_cluster, pre_visit=pre)
 
 
 def _pad_rays(x, n_pad):
@@ -413,11 +495,20 @@ def pallas_intersect(scene: Scene, origins, dirs, want_front, alive,
     smem_bytes = (scene.tri_packed.size + scene.tri_norm_packed.size
                   + scene.cluster_bounds.size + scene.sub_bounds.size) * 4
     if smem_bytes > 1000 * 2 ** 10:
-        # Triangle tables exceed the SMEM budget incl. scratch (scenes
-        # beyond ~14k tris): XLA brute-force fallback. WARNING: only safe
-        # at modest ray widths — at full wavefront widths the fused
-        # brute-force reduction faults the TPU runtime (TODO.md); big
-        # scenes need the HBM-streaming kernel variant.
+        # Triangle tables exceed the SMEM budget (scenes beyond ~14k
+        # tris). The production path for such scenes is the fused frame
+        # kernel's HBM-record streaming mode (framekernel.frame_call with
+        # cluster_records) — this modular entry point falls back to XLA
+        # brute force, which is only safe at modest ray widths.
+        import warnings
+
+        warnings.warn(
+            f"scene tables ({smem_bytes // 1024} KiB) exceed the SMEM "
+            "budget: modular pallas_intersect falls back to XLA brute "
+            "force, which can fault the TPU runtime at full wavefront "
+            "widths. Use the fused frame renderer (streams geometry "
+            "per cluster) for large scenes.",
+            RuntimeWarning, stacklevel=2)
         from refraction_tpu.ops.backends import xla_intersect
 
         return xla_intersect(scene, origins, dirs, want_front, alive,

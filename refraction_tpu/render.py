@@ -94,21 +94,32 @@ def make_renderer(
         # Pallas call (kernels/framekernel.py) — the TPU analogue of the
         # reference's single DispatchRays (RefractionDemo.cpp:589-594).
         from refraction_tpu.kernels.framekernel import (
-            build_scalars, frame_call)
+            build_scalars, fits_smem, frame_call)
 
         h_pad_f = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
         w_pad_f = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
 
         @jax.jit
         def _render_fused(scene: Scene, scalars: jnp.ndarray):
+            if fits_smem(scene):  # shape-derived: resolved at trace time
+                geom = (scene.tri_packed, scene.tri_norm_packed,
+                        scene.cluster_bounds, scene.sub_bounds)
+                rec = None
+            else:
+                # Size-agnostic streaming path: triangle data stays in HBM
+                # and visited clusters DMA into an SMEM ring.
+                geom = (None, None, scene.cluster_bounds, None)
+                rec = scene.cluster_records
+            cs = (scene.tri_packed.shape[0]
+                  // scene.cluster_bounds.shape[0])
             r, g, b = frame_call(
-                scene.tri_packed, scene.tri_norm_packed,
-                scene.cluster_bounds, scene.sub_bounds,
+                *geom,
                 scene.env_packed.reshape(-1, 128), scalars,
                 width=cfg.width, height=cfg.height, spp=cfg.spp,
                 max_refract=cfg.max_refract_depth,
                 max_reflect=cfg.max_reflect_depth,
                 env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
+                cluster_records=rec, cluster_size=cs,
             )
             rad = jnp.stack(
                 [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
@@ -119,13 +130,10 @@ def make_renderer(
             return _render_fused(scene, build_scalars(frame, cfg, offsets))
 
     def _mega_ok(scene: Scene) -> bool:
-        # The fused kernel keeps the envmap in VMEM (~16 MB total incl. ray
-        # tiles) and the triangle tables in SMEM (1 MB); larger scenes fall
-        # back to the modular kernels / XLA paths.
+        # The fused kernel keeps the envmap in VMEM; triangle tables are
+        # either SMEM-resident or streamed per cluster (any size).
         env_bytes = int(np.prod(scene.env_packed.shape)) * 4
-        smem_bytes = (scene.tri_packed.size + scene.tri_norm_packed.size
-                      + scene.cluster_bounds.size + scene.sub_bounds.size) * 4
-        return env_bytes <= 8 * 2 ** 20 and smem_bytes <= 1000 * 2 ** 10
+        return env_bytes <= 8 * 2 ** 20
     inv_spp = np.float32(1.0 / cfg.spp)
 
     # Pad the image to whole (8, 128) tiles (duplicated edge rays, cropped

@@ -45,6 +45,11 @@ class Scene(NamedTuple):
     envmap: np.ndarray       # (H, W, 3) float32 equirect environment
     env_packed: np.ndarray   # (3, R, 128) float32: flattened H*W texels per
                              # channel, 128 per row (envmap kernel layout)
+    cluster_records: np.ndarray  # (C * rec_pad,) float32 per-cluster record
+                             # [sub AABBs | tri9 | norm9] — the HBM table the
+                             # streaming traversal DMAs per visited cluster
+                             # (size-agnostic path; kernels/intersect_pallas
+                             # rec_len_for)
 
     @property
     def num_tris(self) -> int:
@@ -104,6 +109,32 @@ def build_scene(
     tri_e2 = np.ascontiguousarray(pos[:, 2] - pos[:, 0])
     envmap = np.ascontiguousarray(envmap, dtype=np.float32)
 
+    # Streaming-traversal records: one row per cluster holding its
+    # subcluster AABBs + triangle + normal data, so scenes whose tables
+    # exceed the SMEM budget stream per-visited-cluster (DXR's build is
+    # size-agnostic, RefractionDemo.cpp:272-361 — so is this path).
+    tri_packed = np.ascontiguousarray(
+        np.concatenate([tri_a, tri_e1, tri_e2], axis=1))
+    tri_norm_packed = np.ascontiguousarray(
+        np.concatenate(
+            [norm[:, 0], norm[:, 1] - norm[:, 0], norm[:, 2] - norm[:, 0]],
+            axis=1))
+    sub_bounds = np.ascontiguousarray(np.concatenate([sub_lo, sub_hi], axis=1))
+    n_clusters = lo.shape[0]
+    spc = cluster_size // 8
+    rec_len = spc * 6 + cluster_size * 18
+    rec_pad = ((rec_len + 1023) // 1024) * 1024  # whole (8,128) DMA tiles
+    cluster_records = np.zeros((n_clusters, rec_pad), np.float32)
+    cluster_records[:, :rec_len] = np.concatenate(
+        [
+            sub_bounds.reshape(n_clusters, spc * 6),
+            tri_packed.reshape(n_clusters, cluster_size * 9),
+            tri_norm_packed.reshape(n_clusters, cluster_size * 9),
+        ],
+        axis=1,
+    )
+    cluster_records = np.ascontiguousarray(cluster_records.reshape(-1))
+
     # Envmap kernel layout: flat texels, 128 per row, rows padded to 8.
     flat = envmap.reshape(-1, 3)
     n_tex = flat.shape[0]
@@ -117,21 +148,15 @@ def build_scene(
         tri_e1=tri_e1,
         tri_e2=tri_e2,
         tri_norm=np.ascontiguousarray(norm),
-        tri_packed=np.ascontiguousarray(
-            np.concatenate([tri_a, tri_e1, tri_e2], axis=1)
-        ),
-        tri_norm_packed=np.ascontiguousarray(
-            np.concatenate(
-                [norm[:, 0], norm[:, 1] - norm[:, 0], norm[:, 2] - norm[:, 0]],
-                axis=1,
-            )
-        ),
+        tri_packed=tri_packed,
+        tri_norm_packed=tri_norm_packed,
         cluster_lo=lo,
         cluster_hi=hi,
         cluster_bounds=np.ascontiguousarray(np.concatenate([lo, hi], axis=1)),
-        sub_bounds=np.ascontiguousarray(np.concatenate([sub_lo, sub_hi], axis=1)),
+        sub_bounds=sub_bounds,
         envmap=envmap,
         env_packed=env_packed,
+        cluster_records=cluster_records,
     )
     meta = SceneMeta(
         num_real_tris=t_real,

@@ -110,3 +110,17 @@ def test_renderer_routes_fused(sphere_scene, monkeypatch):
     ref2 = make_renderer(cfg_x, use_mega=False)(
         sphere_scene, orbit_camera(0.3, cfg_x))
     assert _rmse(img, ref2) < 1e-5
+
+
+def test_fused_streamed_matches_resident(sphere_scene):
+    """HBM-record streaming traversal (the size-agnostic path) is
+    bit-identical to the SMEM-resident path; also covers DMA issue/wait
+    in interpret mode."""
+    cfg = RenderConfig(width=64, height=64, max_refract_depth=3,
+                       backend="xla")
+    frame = orbit_camera(0.3, cfg)
+    res = render_frame_fused(sphere_scene, frame, cfg, interpret=True,
+                             streamed=False)
+    strm = render_frame_fused(sphere_scene, frame, cfg, interpret=True,
+                              streamed=True)
+    assert np.array_equal(np.asarray(res), np.asarray(strm))
