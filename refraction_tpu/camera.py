@@ -78,7 +78,7 @@ class CameraFrame:
 
 def orbit_camera(angle: float, cfg: RenderConfig) -> CameraFrame:
     """The reference's orbiting camera at a given angle (RefractionDemo.cpp:559-565)."""
-    proj = perspective_fov_lh(cfg.fov_y_rad, cfg.aspect, cfg.z_near, cfg.z_far)
+    proj = perspective_fov_lh(cfg.fov_y_rad, cfg.resolved_aspect, cfg.z_near, cfg.z_far)
     camera_loc = np.array(
         [cfg.orbit_radius * np.cos(angle), 0.0, cfg.orbit_radius * np.sin(angle), 1.0]
     )

@@ -44,9 +44,13 @@ class RenderConfig:
     width: int = 1024
     height: int = 768
 
-    # Camera (RefractionDemo.cpp:559-565).
+    # Camera (RefractionDemo.cpp:559-565). ``aspect=None`` derives the
+    # aspect from width/height EXCEPT at the reference's exact 1024x768,
+    # which keeps the literal 1.333 the reference hard-codes (not 4/3) for
+    # pixel parity. Non-4:3 renders (e.g. 1920x1080) thus get square
+    # pixels instead of a ~33% horizontal stretch (round-1 ADVICE.md).
     fov_y_deg: float = 52.0
-    aspect: float = 1.333
+    aspect: float | None = None
     z_near: float = 1.0
     z_far: float = 125.0
     orbit_radius: float = 5.0
@@ -85,6 +89,14 @@ class RenderConfig:
     # Device mesh: number of devices to shard the image over (data parallel
     # over pixels; geometry + envmap replicated). 1 = single device.
     num_devices: int = 1
+
+    @property
+    def resolved_aspect(self) -> float:
+        if self.aspect is not None:
+            return self.aspect
+        if (self.width, self.height) == (1024, 768):
+            return 1.333  # the reference's literal (RefractionDemo.cpp:559)
+        return self.width / self.height
 
     @property
     def fov_y_rad(self) -> float:

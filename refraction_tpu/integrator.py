@@ -251,13 +251,12 @@ def render_pixels_mega(
             "cull": f_cull, "wgt": f_wgt,
         }
         if want_reflect:
-            lxd, lyd, lzd, l_wgt = res[11], res[12], res[13], res[14]
-            # Reflection child keeps the parent's side: cull sign copies
-            # from -f_cull where refraction lived, else from... the parent
-            # cull is still in state["cull"]; reuse it gated by hit
-            # (hit <=> l_wgt slot written with weight*R, possibly 0.0 —
-            # use the kernel's f_cull? No: reflection spawns on EVERY hit).
-            refl_cull = jnp.where(l_wgt > 0.0, state["cull"], 0.0)
+            # The kernel emits the reflection child's liveness+side
+            # explicitly (spawned on every hit, even under TIR —
+            # RayTracing.hlsl:110); weight may underflow to 0.0 on a
+            # live ray, so liveness is never inferred from it.
+            lxd, lyd, lzd = res[11], res[12], res[13]
+            l_cull, l_wgt = res[14], res[15]
             new = {
                 "ox": jnp.concatenate([new["ox"], hx]),
                 "oy": jnp.concatenate([new["oy"], hy]),
@@ -265,7 +264,7 @@ def render_pixels_mega(
                 "dx": jnp.concatenate([new["dx"], lxd]),
                 "dy": jnp.concatenate([new["dy"], lyd]),
                 "dz": jnp.concatenate([new["dz"], lzd]),
-                "cull": jnp.concatenate([new["cull"], refl_cull]),
+                "cull": jnp.concatenate([new["cull"], l_cull]),
                 "wgt": jnp.concatenate([new["wgt"], l_wgt]),
             }
         state = new

@@ -89,7 +89,11 @@ def decode_hdr_bytes(data: bytes) -> np.ndarray:
             # Flat / old-style: read scanlines pixel by pixel, honoring
             # (1,1,1,shift) repeat codes.
             x = 0
-            prev = None
+            # Matches the native decoder (io_native.cpp): a repeat code
+            # with no preceding pixel replicates zeros, and a run past the
+            # scanline end is a hard error (numpy slicing would silently
+            # truncate it otherwise).
+            prev = np.zeros(4, np.uint8)
             shift = 0
             while y < height:
                 while x < width:
@@ -97,6 +101,9 @@ def decode_hdr_bytes(data: bytes) -> np.ndarray:
                     pos += 4
                     if px[0] == 1 and px[1] == 1 and px[2] == 1:
                         n = int(px[3]) << shift
+                        if x + n > width:
+                            raise ValueError(
+                                ".hdr old-style RLE run exceeds scanline")
                         rgbe[y, x:x + n] = prev
                         x += n
                         shift += 8

@@ -145,8 +145,9 @@ def png_to_float_rgb(img: np.ndarray, gamma: float = 2.2) -> np.ndarray:
     return np.power(rgb, np.float32(gamma), dtype=np.float32)
 
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """Write (H, W), (H, W, 3) or (H, W, 4) uint8 (float in [0,1] accepted)."""
+def encode_png(fileobj, img: np.ndarray, level: int = 6) -> None:
+    """Encode (H, W), (H, W, 3) or (H, W, 4) uint8 (float in [0,1]
+    accepted) into a binary file object."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -162,8 +163,14 @@ def write_png(path: str, img: np.ndarray) -> None:
         return (struct.pack(">I", len(payload)) + tag + payload
                 + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
+    fileobj.write(_SIG)
+    fileobj.write(
+        chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)))
+    fileobj.write(chunk(b"IDAT", zlib.compress(raw.tobytes(), level)))
+    fileobj.write(chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write (H, W), (H, W, 3) or (H, W, 4) uint8 (float in [0,1] accepted)."""
     with open(path, "wb") as f:
-        f.write(_SIG)
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw.tobytes(), 6)))
-        f.write(chunk(b"IEND", b""))
+        encode_png(f, img)

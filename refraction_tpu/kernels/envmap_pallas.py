@@ -19,8 +19,10 @@ Dead lanes (weight 0) are excluded from the window min/max, and fully
 dead blocks skip everything — late wavefront rounds cost ~nothing.
 
 atan2/acos are polynomial implementations (utils/fastmath.py) because
-Mosaic has no native lowering; the XLA backend uses the *same*
-implementations so backends agree bit-for-bit.
+Mosaic has no native lowering. The XLA env backend uses true
+jnp.arctan2/arccos (it is shared with the numpy oracle), so the two env
+paths agree to within one texel: a direction within ~1e-7 of a texel
+truncation boundary may round to the neighbor.
 """
 
 from __future__ import annotations

@@ -44,7 +44,7 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                  ox, oy, oz, dx, dy, dz, cull, wgt,
                  rad_r, rad_g, rad_b,
                  hx, hy, hz, fx, fy, fz, f_cull, f_wgt,
-                 lx, ly, lz, l_wgt,
+                 lx, ly, lz, l_cull, l_wgt,
                  best_t, best_i, best_nx, best_ny, best_nz,
                  cluster_size: int, env_h: int, env_w: int,
                  env_rows: int, want_reflect: bool = True,
@@ -77,7 +77,7 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
             if want_children:
                 refs += [hx, hy, hz, fx, fy, fz, f_cull, f_wgt]
                 if want_reflect:
-                    refs += [lx, ly, lz, l_wgt]
+                    refs += [lx, ly, lz, l_cull, l_wgt]
             for ref in refs:
                 ref[rows, :] = zero
 
@@ -182,6 +182,11 @@ def _mega_kernel(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
             lx[rows, :] = jnp.where(hit, sx * sinv, 0.0)
             ly[rows, :] = jnp.where(hit, sy * sinv, 1.0)
             lz[rows, :] = jnp.where(hit, sz * sinv, 0.0)
+            # Explicit liveness: the reflection child is alive iff the
+            # parent HIT (even under TIR, RayTracing.hlsl:110), keeping
+            # the parent's side — never inferred from the weight, which
+            # can underflow to 0 while the ray is alive.
+            l_cull[rows, :] = jnp.where(hit, cu, 0.0)
             l_wgt[rows, :] = jnp.where(hit, w * fres, 0.0)
 
         return 0
@@ -201,9 +206,10 @@ def mega_round(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
     """One wavefront bounce round over SoA (rows, 128) ray state.
 
     Returns (rad_rgb x3, [hit_p x3, refr x3, refr_cull, refr_wgt,
-    [refl x3, refl_wgt]]) — all (rows, 128). With want_children=False
-    (the final round, where hits contribute black) only radiance is
-    produced."""
+    [refl x3, refl_cull, refl_wgt]]) — all (rows, 128). With
+    want_children=False (the final round, where hits contribute black)
+    only radiance is produced. refl_cull is the reflection child's
+    explicit liveness+side (spawned on every hit, RayTracing.hlsl:110)."""
     rows = ox.shape[0]
     grid = rows // (_SUB * GROUP)
     cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
@@ -216,7 +222,7 @@ def mega_round(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
         n_out = 3
         kern = _mega_kernel_missonly
     elif want_reflect:
-        n_out = 15
+        n_out = 16
         kern = _mega_kernel
     else:
         n_out = 11
@@ -267,7 +273,7 @@ def _mega_kernel_norefl(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                  ox, oy, oz, dx, dy, dz, cull, wgt,
                  rad_r, rad_g, rad_b,
                  hx, hy, hz, fx, fy, fz, f_cull, f_wgt,
-                 None, None, None, None,
+                 None, None, None, None, None,
                  best_t, best_i, best_nx, best_ny, best_nz,
                  cluster_size=cluster_size, env_h=env_h, env_w=env_w,
                  env_rows=env_rows, want_reflect=False)
@@ -282,7 +288,7 @@ def _mega_kernel_missonly(limits_sm, tri_sm, norm_sm, cluster_sm, subs_sm,
                  ox, oy, oz, dx, dy, dz, cull, wgt,
                  rad_r, rad_g, rad_b,
                  None, None, None, None, None, None, None, None,
-                 None, None, None, None,
+                 None, None, None, None, None,
                  best_t, best_i, best_nx, best_ny, best_nz,
                  cluster_size=cluster_size, env_h=env_h, env_w=env_w,
                  env_rows=env_rows, want_reflect=False,

@@ -62,6 +62,8 @@ def build_config(args) -> RenderConfig:
         overrides["backend"] = args.backend
     if args.ior is not None:
         overrides["ior"] = args.ior
+    if args.aspect is not None:
+        overrides["aspect"] = args.aspect
     return cfg.replace(**overrides) if overrides else cfg
 
 
@@ -75,6 +77,9 @@ def main(argv=None) -> int:
     p.add_argument("--bounces", type=int, help="max refraction depth (ref: 5)")
     p.add_argument("--spp", type=int, help="supersamples per pixel")
     p.add_argument("--ior", type=float, help="index of refraction (ref: 1.3)")
+    p.add_argument("--aspect", type=float,
+                   help="camera aspect override (default: width/height;"
+                        " the reference's literal 1.333 at 1024x768)")
     p.add_argument("--mtl-ior", action="store_true",
                    help="take the IOR from the scene's .mtl Ni (the"
                         " reference ships ott.mtl Ni=1.45 but ignores it)")
@@ -91,7 +96,13 @@ def main(argv=None) -> int:
     p.add_argument("--accumulate", action="store_true",
                    help="average all frames into one image (progressive mode)")
     p.add_argument("--resume", help="resume an --accumulate render from a .npz")
-    p.add_argument("--raw", action="store_true", help="also save linear .npy")
+    p.add_argument("--raw", action="store_true",
+                   help="also save linear radiance .npy (per frame when"
+                        " --frames>1 without --accumulate)")
+    p.add_argument("--serve", type=int, metavar="PORT",
+                   help="serve the orbit live over HTTP (the reference's"
+                        " window, headless): open http://HOST:PORT/ in a"
+                        " browser while frames render")
     args = p.parse_args(argv)
 
     setup_logging()
@@ -139,15 +150,31 @@ def main(argv=None) -> int:
         srgb = jnp.clip(img, 0.0, 1.0) ** jnp.float32(1.0 / 2.2)
         return (srgb * 255.0 + 0.5).astype(jnp.uint8)
 
+    serve = None
+    if args.serve is not None:
+        from refraction_tpu.viewer import FrameServer
+
+        serve = FrameServer(port=args.serve)
+        log.info("live viewer at http://0.0.0.0:%d/", serve.port)
+
     def drain(entry):
         img_dev, idx = entry
-        if acc is not None or args.raw or args.frames == 1:
+        if serve is not None:
+            serve.publish(np.asarray(_to_u8(img_dev)),
+                          {"frame": idx, "fps": round(stats.fps, 2)})
+        if acc is not None or args.frames == 1:
             host = np.asarray(img_dev)  # full radiance needed on host
             if acc is not None:
                 acc.add(host)
             return host
+        if serve is not None:
+            return None  # live view only: no per-frame files
+        # --frames>1 without --accumulate: per-frame outputs.
         base, ext = os.path.splitext(args.out)
-        write_png(f"{base}_{idx:04d}{ext or '.png'}", np.asarray(_to_u8(img_dev)))
+        write_png(f"{base}_{idx:04d}{ext or '.png'}",
+                  np.asarray(_to_u8(img_dev)))
+        if args.raw:
+            np.save(f"{base}_{idx:04d}.npy", np.asarray(img_dev))
         return None
 
     if args.profile:
@@ -177,10 +204,10 @@ def main(argv=None) -> int:
     if acc is not None and args.frames > 1:
         log.info("accumulated %d frames", acc.count)
         acc.save(os.path.splitext(args.out)[0] + "_state.npz")
-    if args.frames == 1 or acc is not None:
+    if (args.frames == 1 or acc is not None) and final is not None:
         write_png(args.out if args.out.endswith(".png") else args.out + ".png",
                   tonemap(final))
-    if args.raw:
+    if args.raw and final is not None:
         np.save(os.path.splitext(args.out)[0] + ".npy", final)
     log.info("done: %d frames, %.2f fps avg -> %s", stats.frames, stats.fps,
              args.out)

@@ -9,8 +9,11 @@ is 1.2e-7 — float32 rounding noise — so envmap texel indices match the
 numpy oracle except for directions within ~1e-4 texel of a truncation
 boundary.
 
-All functions are jnp-generic: they work inside Pallas kernels and in
-plain XLA (used by both so the arithmetic matches bit-for-bit).
+All functions are jnp-generic and work inside Pallas kernels as well as
+plain XLA. NOTE: the XLA env backend (ops/shade.envmap_color, shared with
+the numpy oracle) uses true jnp.arctan2/arccos, so the Pallas and XLA env
+paths may select a different texel for a direction within ~1e-7 of a
+truncation boundary — a <=1-texel tolerance, not bit-for-bit parity.
 """
 
 from __future__ import annotations

@@ -45,7 +45,7 @@ def _rays_independent(angle, cfg, width, height):
     """Scalar per-pixel reimplementation (float64) of the whole chain."""
     fov = cfg.fov_y_deg / 180.0 * 3.1415
     h = np.cos(fov / 2) / np.sin(fov / 2)
-    w = h / cfg.aspect
+    w = h / cfg.resolved_aspect
     rng = cfg.z_far / (cfg.z_far - cfg.z_near)
     proj = np.array(
         [[w, 0, 0, 0], [0, h, 0, 0], [0, 0, rng, 1], [0, 0, -rng * cfg.z_near, 0]]

@@ -70,3 +70,36 @@ def test_reference_ott_mtl_ni():
     # SURVEY.md 2.3: ott.mtl has Ni=1.45 (ignored by the reference loader).
     assert ior_for_scene(os.path.join(REF, "ott.obj"), 1.3) == 1.45
     assert ior_for_scene(os.path.join(REF, "monkey.obj"), 1.3) == 1.3
+
+
+def test_viewer_server_roundtrip():
+    """FrameServer publishes frames and serves /, /frame, /stats."""
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from refraction_tpu.viewer import FrameServer
+
+    srv = FrameServer(port=0)  # ephemeral port
+    try:
+        img = (np.random.default_rng(0).random((16, 24, 3)) * 255
+               ).astype(np.uint8)
+        srv.publish(img, {"frame": 7})
+        base = f"http://127.0.0.1:{srv.port}"
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"refraction_tpu" in page
+        r = urllib.request.urlopen(base + "/frame", timeout=5)
+        data = r.read()
+        assert r.headers["X-Frame-Id"] == "0"
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        # decode back and compare
+        from refraction_tpu.io.png import decode_png_bytes
+
+        arr = decode_png_bytes(data)
+        assert np.array_equal(arr, img)
+        st = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=5).read())
+        assert st["frame"] == 7
+    finally:
+        srv.close()

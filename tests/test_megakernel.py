@@ -65,3 +65,54 @@ def test_mega_stats(cube_scene, small_cfg):
     rays = int(stats["rays_traced"])
     assert rays >= n  # all primaries traced
     assert rays <= 19 * oj.shape[0]  # bounded by the tree size
+
+
+def test_reflection_child_liveness_survives_weight_underflow():
+    """A reflection child spawned with an underflowed weight (w * R == 0.0)
+    must still be ALIVE (explicit l_cull hit mask) — the reference spawns
+    the reflection TraceRay on every hit regardless of weight
+    (RayTracing.hlsl:110-123). Round-1 inferred liveness from l_wgt > 0,
+    which silently killed such rays."""
+    import jax.numpy as jnp
+
+    from refraction_tpu.io.primitives import (
+        make_gradient_envmap,
+        make_icosphere,
+    )
+    from refraction_tpu.kernels.megakernel import mega_round
+    from refraction_tpu.scene import build_scene
+
+    scene, _ = build_scene(
+        make_icosphere(1), make_gradient_envmap(16, 32), cluster_size=32)
+    n = 16384  # one full 16-tile grid program
+    rows = n // 128
+    # All rays aimed at the sphere center from +x: every lane hits.
+    ox = jnp.full((rows, 128), 3.0, jnp.float32)
+    oy = jnp.zeros((rows, 128), jnp.float32)
+    oz = jnp.zeros((rows, 128), jnp.float32)
+    dx = jnp.full((rows, 128), -1.0, jnp.float32)
+    dy = jnp.zeros((rows, 128), jnp.float32)
+    dz = jnp.zeros((rows, 128), jnp.float32)
+    cull = jnp.ones((rows, 128), jnp.float32)
+    # Tiny-but-positive parent weight: w * fres underflows to exactly 0.0
+    # in float32 (fres ~ 8e-3 * (1-cos)^5 is ~0 at normal incidence, and
+    # 1e-38 * anything < 1 flushes to 0).
+    wgt = jnp.full((rows, 128), 1.0e-38, jnp.float32)
+    env_flat = scene.env_packed.reshape(-1, 128)
+    limits = jnp.asarray([1e-4, 100.0, 1.3, 0.00826446], jnp.float32)
+    res = mega_round(
+        scene.tri_packed, scene.tri_norm_packed, scene.cluster_bounds,
+        scene.sub_bounds, env_flat, limits,
+        ox, oy, oz, dx, dy, dz, cull, wgt,
+        env_h=16, env_w=32, want_reflect=True, want_children=True,
+        interpret=True,
+    )
+    l_cull, l_wgt = res[14], res[15]
+    import numpy as np
+
+    l_cull = np.asarray(l_cull)
+    l_wgt = np.asarray(l_wgt)
+    # Weight underflowed to zero on (at least) the head-on lanes...
+    assert (l_wgt == 0.0).any()
+    # ...but every hit lane's reflection child is still alive, same side.
+    assert (l_cull == 1.0).all()

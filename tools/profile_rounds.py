@@ -80,11 +80,10 @@ def run_round(state, count, time_it=True):
     fxd, fyd, fzd, f_cull, f_wgt = res[6], res[7], res[8], res[9], res[10]
     new = {"ox":hx,"oy":hy,"oz":hz,"dx":fxd,"dy":fyd,"dz":fzd,"cull":f_cull,"wgt":f_wgt}
     if want_reflect:
-        lxd, lyd, lzd, l_wgt = res[11], res[12], res[13], res[14]
-        refl_cull = jnp.where(l_wgt > 0.0, state["cull"], 0.0)
+        lxd, lyd, lzd, l_cull, l_wgt = res[11], res[12], res[13], res[14], res[15]
         new = {k: jnp.concatenate([new[k], v]) for k, v in
                zip(("ox","oy","oz","dx","dy","dz","cull","wgt"),
-                   (hx,hy,hz,lxd,lyd,lzd,refl_cull,l_wgt))}
+                   (hx,hy,hz,lxd,lyd,lzd,l_cull,l_wgt))}
     return new
 
 for count in range(cfg.max_refract_depth + 1):
