@@ -215,6 +215,28 @@ def main():
 
     dev_ms = device_kernel_ms(render, scene, cfg)
 
+    # spp=4 variant (VERDICT round-1 item 5 / BASELINE config 5 regime):
+    # all four samples trace inside ONE kernel dispatch per frame, so the
+    # fixed per-frame overhead (host dispatch, relay RTT, raygen setup)
+    # amortizes over 4x the rays. Reported as its own rays/s figure.
+    cfg4 = cfg.replace(spp=4)
+    render4 = make_renderer(cfg4)
+    img4 = render4(scene, orbit_camera(0.01, cfg4))
+    float(jnp.sum(img4[0, 0]))
+    prev = None
+    t0 = time.time()
+    n4 = 6
+    for k in range(n4):
+        img4 = render4(scene, orbit_camera(0.1 + 0.013 * k, cfg4))
+        s = jnp.sum(img4[0, 0])
+        if prev is not None:
+            float(prev)
+        prev = s
+    float(prev)
+    dt4 = (time.time() - t0) / n4
+    live4 = live_rays * 4  # count_live_rays scales by cfg.spp
+    mrays4 = live4 / dt4 / 1e6
+
     mrays = live_rays / dt / 1e6
     fps = 1.0 / dt
 
@@ -230,6 +252,9 @@ def main():
         "frame_latency_ms": round(lat * 1e3, 1),
         "device_ms": round(dev_ms, 1) if dev_ms else None,
         "dense_mrays": round(dense_rays / dt / 1e6, 1),
+        "spp4_mrays": round(mrays4, 1),
+        "spp4_frame_ms": round(dt4 * 1e3, 1),
+        "spp4_rays_vs_spp1": round(mrays4 / mrays, 2),
         "live_rays_per_frame": live_rays,
         "dense_rays_per_frame": dense_rays,
         "tris": meta.num_real_tris,

@@ -9,6 +9,9 @@ from refraction_tpu.io.mtl import ior_for_scene, parse_mtl
 from refraction_tpu.io.png import load_png
 from refraction_tpu.run import main, tonemap
 
+# Compile-heavy integration tier: excluded by `-m "not slow"` (fast tier).
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference"
 
 

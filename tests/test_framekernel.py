@@ -18,6 +18,9 @@ from refraction_tpu.kernels.framekernel import render_frame_fused
 from refraction_tpu.render import make_renderer
 from refraction_tpu.scene import build_scene
 
+# Compile-heavy integration tier: excluded by `-m "not slow"` (fast tier).
+pytestmark = pytest.mark.slow
+
 
 def _rmse(a, b):
     return float(np.sqrt(np.mean((np.asarray(a) - np.asarray(b)) ** 2)))

@@ -12,6 +12,9 @@ from conftest import rmse
 from oracle.numpy_tracer import render_oracle
 from refraction_tpu.render import render_frame, rays_per_frame, sample_offsets
 
+# Compile-heavy integration tier: excluded by `-m "not slow"` (fast tier).
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("scene_fixture,angle", [
     ("cube_scene", 0.3),

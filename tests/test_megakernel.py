@@ -9,6 +9,9 @@ from oracle.numpy_tracer import render_oracle
 from refraction_tpu.camera import generate_rays, orbit_camera
 from refraction_tpu.integrator import render_pixels_mega
 
+# Compile-heavy integration tier: excluded by `-m "not slow"` (fast tier).
+pytestmark = pytest.mark.slow
+
 
 def _pad_rays_to_tiles(o, d):
     n = o.shape[0]

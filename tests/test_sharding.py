@@ -17,6 +17,9 @@ from refraction_tpu.camera import orbit_camera
 from refraction_tpu.ops.backends import xla_intersect
 from refraction_tpu.render import make_renderer
 
+# Compile-heavy integration tier: excluded by `-m "not slow"` (fast tier).
+pytestmark = pytest.mark.slow
+
 
 def test_eight_fake_devices():
     assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,128 @@
+"""Compiled-kernel golden tests on the real TPU chip.
+
+Every test here renders through the *Mosaic-compiled* Pallas kernels (no
+``interpret=True``) and asserts agreement with the NumPy oracle — the same
+behavioral contract the CPU-tier golden tests pin for the interpret path
+(tests/test_golden.py), now enforced on hardware. Covers the reference's
+full per-pixel program: RayGen (RayTracing.hlsl:27-40), the ClosestHit
+recursion tree (:79-123), and the Miss envmap fetch (:127-137).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import rmse
+from oracle.numpy_tracer import render_oracle
+from refraction_tpu.camera import orbit_camera
+from refraction_tpu.config import RenderConfig
+from refraction_tpu.io.primitives import make_gradient_envmap, make_icosphere
+from refraction_tpu.kernels.framekernel import render_frame_fused
+from refraction_tpu.scene import build_scene, load_scene, scene_to_device
+
+RMSE_TOL = 1e-4  # VERDICT round-1 weak item 1's asked-for bound
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    scene, _ = build_scene(
+        make_icosphere(subdiv=2, radius=1.2),
+        make_gradient_envmap(64, 128),
+        cluster_size=32,
+    )
+    return scene_to_device(scene)
+
+
+def _cfg(**kw):
+    base = dict(width=96, height=64, backend="pallas", cluster_size=32)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_fused_frame_kernel_matches_oracle(sphere_scene):
+    """Whole-frame fused kernel (the production path), compiled."""
+    cfg = _cfg(max_refract_depth=5, max_reflect_depth=2)
+    img = np.asarray(
+        render_frame_fused(sphere_scene, orbit_camera(0.85, cfg), cfg))
+    ref = render_oracle(sphere_scene, cfg, angle=0.85)
+    assert rmse(img, ref) < RMSE_TOL
+
+
+def test_fused_streamed_matches_resident(sphere_scene):
+    """HBM-record streaming traversal == SMEM-resident traversal, compiled
+    (the size-agnostic path must agree exactly with the resident one)."""
+    cfg = _cfg(max_refract_depth=4)
+    frame = orbit_camera(0.42, cfg)
+    res = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                        streamed=False))
+    str_ = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                         streamed=True))
+    assert np.array_equal(res, str_), (
+        f"streamed/resident mismatch: max abs diff "
+        f"{np.abs(res - str_).max()}")
+
+
+def test_shell_asset_matches_oracle(reference_dir):
+    """The scene the reference demo actually loads
+    (RefractionDemo.cpp:537), on hardware."""
+    cfg = RenderConfig(
+        width=96, height=64,
+        scene_path=f"{reference_dir}/shell.obj",
+        backend="pallas", cluster_size=128, max_refract_depth=4,
+    )
+    scene, _ = load_scene(cfg)
+    scene = scene_to_device(scene)
+    img = np.asarray(
+        render_frame_fused(scene, orbit_camera(0.3, cfg), cfg))
+    ref = render_oracle(scene, cfg, angle=0.3)
+    assert rmse(img, ref) < RMSE_TOL
+
+
+def test_ott_streamed_on_hardware(reference_dir):
+    """Large-scene regression: ott.obj (12,877 tris) through the streaming
+    traversal on the real chip — the round-1 crash cliff (TODO.md round-1:
+    XLA fallback faulted the TPU worker past the SMEM budget)."""
+    cfg = RenderConfig(
+        width=64, height=32,
+        scene_path=f"{reference_dir}/ott.obj",
+        backend="pallas", cluster_size=128, max_refract_depth=2,
+    )
+    scene, _ = load_scene(cfg)
+    scene = scene_to_device(scene)
+    frame = orbit_camera(0.2, cfg)
+    img_s = np.asarray(render_frame_fused(scene, frame, cfg, streamed=True))
+    assert np.isfinite(img_s).all()
+    assert img_s.max() > 0
+    # Small res + shallow depth keep the brute-force NumPy oracle (12,877
+    # tris on the 1-core test host) to seconds, not minutes.
+    ref = render_oracle(scene, cfg, angle=0.2)
+    assert rmse(img_s, ref) < RMSE_TOL
+
+
+def test_modular_intersect_compiled(sphere_scene):
+    """Standalone closest-hit kernel vs the XLA brute-force oracle on
+    random rays, compiled (tests/test_kernel.py runs this in interpret)."""
+    import jax.numpy as jnp
+
+    from refraction_tpu.kernels.intersect_pallas import pallas_intersect
+    from refraction_tpu.ops.backends import xla_intersect
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = (-3.0 * d + 0.1 * rng.normal(size=(n, 3))).astype(np.float32)
+    want_front = jnp.asarray(rng.random(n) < 0.5)
+    alive = jnp.ones(n, bool)
+
+    hit_p, t_p, i_p, n_p = pallas_intersect(
+        sphere_scene, jnp.asarray(o), jnp.asarray(d), want_front, alive,
+        1e-4, 100.0)
+    hit_x, t_x, i_x, n_x = xla_intersect(
+        sphere_scene, jnp.asarray(o), jnp.asarray(d), want_front, alive,
+        jnp.float32(1e-4), jnp.float32(100.0))
+
+    hit_p, hit_x = np.asarray(hit_p), np.asarray(hit_x)
+    assert (hit_p == hit_x).all()
+    np.testing.assert_allclose(
+        np.asarray(t_p)[hit_p], np.asarray(t_x)[hit_x], rtol=1e-5, atol=1e-5)
+    assert (np.asarray(i_p)[hit_p] == np.asarray(i_x)[hit_x]).all()
