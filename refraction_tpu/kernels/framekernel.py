@@ -38,8 +38,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from refraction_tpu.kernels.envmap_pallas import env_window_tile
-from refraction_tpu.kernels.intersect_pallas import _LANE, _SUB, traverse_tile
+import os
+
+from refraction_tpu.kernels.envmap_pallas import (
+    env_window_accumulate, env_window_tile)
+from refraction_tpu.kernels.intersect_pallas import (
+    _ABLATE, _LANE, _SUB, traverse_tile)
+
+# Miss-shading path knob: "tile" = windowed full scan, "accumulate" =
+# occupancy-gated scan, "auto" (default) picks per scene — small scenes
+# have coherent miss windows where the plain scan's lower per-group cost
+# wins (monkey 24.3 vs 25.6 ms); large scenes scatter refracted misses
+# across the map and the gating pays for itself (ott 76.2 vs 78.1 ms).
+_ENV_PATH = os.environ.get("RRT_ENV_PATH", "auto")
 
 TILE_H = 32
 TILE_W = 32
@@ -218,17 +229,26 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
         hit = (t < tmax) & alive
         miss = alive & ~hit
 
-        # Miss shading (RayTracing.hlsl:127-137). env_window_tile's row
-        # window is empty when no lane misses, so the scan self-gates —
+        # Miss shading (RayTracing.hlsl:127-137). The occupancy-gated
+        # scan's window is empty when no lane misses, so it self-gates —
         # no any-miss reduction needed. Per-slot (not batched across
         # slots): a batched (32,128) scan over the UNION window of four
         # diverged slots measured ~10 ms/frame slower.
         miss_w = jnp.where(miss, w, 0.0)
-        er, eg, eb = env_window_tile(
-            d_x, d_y, d_z, miss_w > 0.0, env_ref, env_h, env_w, env_rows)
-        rad_r[:] = rad_r[:] + miss_w * er
-        rad_g[:] = rad_g[:] + miss_w * eg
-        rad_b[:] = rad_b[:] + miss_w * eb
+        env_tile = (_ENV_PATH == "tile"
+                    or (_ENV_PATH == "auto" and num_clusters <= 32))
+        if "noenv" not in _ABLATE:
+            if env_tile:
+                er, eg, eb = env_window_tile(
+                    d_x, d_y, d_z, miss_w > 0.0, env_ref,
+                    env_h, env_w, env_rows)
+                rad_r[:] = rad_r[:] + miss_w * er
+                rad_g[:] = rad_g[:] + miss_w * eg
+                rad_b[:] = rad_b[:] + miss_w * eb
+            else:
+                env_window_accumulate(
+                    d_x, d_y, d_z, miss_w, env_ref, env_h, env_w, env_rows,
+                    rad_r, rad_g, rad_b)
 
         if is_last:
             return  # hits at the depth cap contribute black (hlsl:82)

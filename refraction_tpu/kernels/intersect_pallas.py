@@ -35,9 +35,16 @@ triangles are visited in ascending order).
 from __future__ import annotations
 
 import functools
+import os
+
+# Timing-ablation knobs (RRT_ABLATE=notri,nonorm,noenv): compile-out parts
+# of the kernel to attribute device time. Debug only — images are wrong.
+_ABLATE = frozenset(
+    filter(None, os.environ.get("RRT_ABLATE", "").split(",")))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -202,25 +209,29 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         (~100s of cycles each) was the kernel's per-tile floor."""
         return _roll_tree(bits, jnp.bitwise_or)
 
-    _GROUP_BITS = 16  # AABBs gated per bitmask reduction
+    _GROUP_BITS = 16  # AABBs gated per bitmask reduction (streaming: one
+                      # SMEM ring slot per bit, so fixed at 16 there)
 
-    def gated_loop(bounds_ref, base, start, count, visit, pre_visit=None):
+    def gated_loop(bounds_ref, base, start, count, visit, pre_visit=None,
+                   bits_per_word=32):
         """For i in [start, start+count): visit(i) iff any live lane
         overlaps AABB i, whose bounds live at ``bounds_ref[base + i*6]``.
         ``count`` is static; ``base``/``start`` may be traced.
 
-        Overlap flags for groups of 16 AABBs are packed into per-lane
-        bitmasks and OR-reduced across the tile once per group — one
-        reduction per 16 boxes instead of a ~100-cycle scalar reduction
-        per box. ``pre_visit(word, rel0)``, if given, runs between the
+        Overlap flags for groups of ``bits_per_word`` AABBs are packed
+        into per-lane bitmasks and OR-reduced across the tile once per
+        group — one reduction per word instead of a ~100-cycle scalar
+        reduction per box (32-bit words halve the reduction count vs 16;
+        the streaming path uses 16 because each bit indexes a DMA ring
+        slot). ``pre_visit(word, rel0)``, if given, runs between the
         reduction and the visits (DMA issue hook for streaming)."""
-        n_groups = (count + _GROUP_BITS - 1) // _GROUP_BITS
+        n_groups = (count + bits_per_word - 1) // bits_per_word
 
         def group_body(g, _):
-            rel0 = g * _GROUP_BITS
+            rel0 = g * bits_per_word
             bits = jnp.zeros((_SUB, _LANE), jnp.int32)
             cur_best = best_t[:]
-            for b in range(min(_GROUP_BITS, count)):
+            for b in range(min(bits_per_word, count)):
                 rel = rel0 + b
                 idx = start + jnp.minimum(rel, count - 1)
                 m, enter = slab_mask_entry(bounds_ref, base + idx * 6)
@@ -228,9 +239,10 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 # best hit is farther than the box entry — per-lane early
                 # termination folded into the overlap bit for free.
                 in_range = rel < count
+                # int32-safe bit constant (bit 31 is the sign bit).
+                bconst = jnp.int32(np.int32(np.uint32(1) << np.uint32(b)))
                 bits = bits | jnp.where(
-                    m & (enter < cur_best) & in_range,
-                    jnp.int32(1 << b), jnp.int32(0)
+                    m & (enter < cur_best) & in_range, bconst, jnp.int32(0)
                 )
             word = or_reduce_scalar(bits)
 
@@ -246,7 +258,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
                     return 0
 
-                jax.lax.fori_loop(0, min(_GROUP_BITS, count), bit_body, 0)
+                jax.lax.fori_loop(0, min(bits_per_word, count), bit_body, 0)
 
             return 0
 
@@ -285,6 +297,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         scheduler can software-pipeline consecutive triangles. ``ti`` is
         the global triangle index (winner id); (tref, tb)/(nref, nb)
         locate its 9 floats of geometry/normals."""
+        if "notri" in _ABLATE:
+            return best
         a0 = tref[tb + 0]
         a1 = tref[tb + 1]
         a2 = tref[tb + 2]
@@ -345,6 +359,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         # triangle (RayTracing.hlsl:83-86), tracked in-kernel so the
         # integrator never needs a per-ray table gather (XLA TPU
         # gathers at wavefront widths cost ~60 ms each).
+        if "nonorm" in _ABLATE:
+            return bt, bi, bx, by, bz
         na0 = nref[nb + 0]
         na1 = nref[nb + 1]
         na2 = nref[nb + 2]
@@ -407,7 +423,9 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
         pre = _issue_dmas
 
-    # ---- Coarse level: Morton-order bitmask gates over clusters.
+    # ---- Coarse level: Morton-order bitmask gates over clusters. The
+    # streaming path pins 16-bit words (bit == DMA ring slot); the
+    # resident path uses 32-bit words (half the scalar reductions).
     # Early termination lives *inside the bitmask scans* (gated_loop folds
     # a per-lane `entry <= best_t` improvability test into the overlap
     # bits): as the visit sequence tightens best_t, later subcluster — and
@@ -419,7 +437,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # roll-tree bound check cost ~7 ms/frame at 1080p: every vector->
     # scalar reduction + branch stalls the in-order pipeline ~1 us.)
     gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_clusters,
-               visit_cluster, pre_visit=pre)
+               visit_cluster, pre_visit=pre,
+               bits_per_word=_GROUP_BITS if stream is not None else 32)
 
 
 def _pad_rays(x, n_pad):
