@@ -161,7 +161,8 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
                            count=count):
                 for slot in range(w_slots):
                     _slot_round(slot, w_slots, tmin, tmax, is_last,
-                                spawn_reflect, alive_known=(count == 0))
+                                spawn_reflect, alive_known=(count == 0),
+                                count=count)
                 if not is_last:
                     _flags_pass()
 
@@ -199,16 +200,18 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
             flags_sm[sl] = (word >> sl) & 1
 
     def _slot_round(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
-                    alive_known):
+                    alive_known, count):
         if alive_known:
-            _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect)
+            _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
+                       count)
             return
 
         @pl.when(flags_sm[slot] != 0)
         def _():
-            _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect)
+            _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
+                       count)
 
-    def _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect):
+    def _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect, count):
         r = slice(slot * _SUB, (slot + 1) * _SUB)
         cu = p_cull[r, :]
         o_x, o_y, o_z = p_ox[r, :], p_oy[r, :], p_oz[r, :]
@@ -235,8 +238,12 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
         # slots): a batched (32,128) scan over the UNION window of four
         # diverged slots measured ~10 ms/frame slower.
         miss_w = jnp.where(miss, w, 0.0)
+        # "auto": primary misses (count 0) are angularly coherent — the
+        # plain windowed scan's lower per-group cost wins; refracted
+        # misses (count > 0) scatter across the map — occupancy gating
+        # collapses the wide window to the occupied groups.
         env_tile = (_ENV_PATH == "tile"
-                    or (_ENV_PATH == "auto" and num_clusters <= 32))
+                    or (_ENV_PATH == "auto" and count == 0))
         if "noenv" not in _ABLATE:
             if env_tile:
                 er, eg, eb = env_window_tile(
