@@ -28,6 +28,7 @@ truncation boundary may round to the neighbor.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.config import REF_PI_ENVMAP
+from refraction_tpu.kernels.intersect_pallas import _ABLATE
 from refraction_tpu.scene import Scene
 from refraction_tpu.utils.fastmath import acos, atan2
 
@@ -42,6 +44,11 @@ BLOCK_RAYS = 1024
 GROUP = 8  # tiles per grid program
 _SUB = 8
 _LANE = 128
+# Env rows scanned per loop iteration (windowed path). Sweeping 8/16/32
+# on monkey 1080p measured 23.72/23.61/~same ms — per-iteration overhead
+# is minor; 16 amortizes the dynamic-offset loads slightly. Must divide
+# the scene.env_packed 32-row channel padding.
+_SCAN_ROWS = int(os.environ.get("RRT_ENV_SCAN", "16"))
 
 
 def _sublane_steps(rows: int):
@@ -111,18 +118,23 @@ def env_window_tile(x, y, z, alive, env_ref,
     big = jnp.int32(2 ** 30)
     q_lo = _roll_min(jnp.where(alive, q, big))
     q_hi = _roll_max(jnp.where(alive, q, -1))
-    g0 = (q_lo // _SUB) * _SUB
-    n_groups = q_hi // _SUB - q_lo // _SUB + 1
+    scan = _SCAN_ROWS
+    g0 = (q_lo // scan) * scan
+    n_groups = q_hi // scan - q_lo // scan + 1
+    if "envnoscan" in _ABLATE:
+        n_groups = jnp.int32(0)
+
+    n_chan = 1 if "envr" in _ABLATE else 3  # gather-cost ablation knob
 
     def group(i, accs):
         acc_r, acc_g, acc_b = accs
-        base = g0 + i * _SUB
+        base = g0 + i * scan
         brow = q - base
         tiles = [
-            env_ref[pl.ds(c * rows_per_chan + base, _SUB), :]
-            for c in range(3)
+            env_ref[pl.ds(c * rows_per_chan + base, scan), :]
+            for c in range(n_chan)
         ]
-        for j in range(_SUB):
+        for j in range(scan):
             mj = alive & (brow == j)
             for c, (tile, acc) in enumerate(
                 zip(tiles, (acc_r, acc_g, acc_b))
@@ -176,6 +188,8 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
     q_hi = _roll_max(jnp.where(alive, q, -1))
     g_lo = q_lo // _SUB
     n_groups = q_hi // _SUB - g_lo + 1  # negative when no lane is alive
+    if "envnoscan" in _ABLATE:
+        n_groups = jnp.int32(0)
     n_words = (n_groups + _WORD - 1) // _WORD
     gq = q // _SUB - g_lo  # per-lane group index relative to the window
 
@@ -186,12 +200,14 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
             bits = bits | pltpu.roll(bits, s, axis=0)
         return bits[0, 0]
 
+    n_chan = 1 if "envr" in _ABLATE else 3  # gather-cost ablation knob
+
     def visit(g):
         base = (g_lo + g) * _SUB
         brow = q - base
         tiles = [
             env_ref[pl.ds(c * rows_per_chan + base, _SUB), :]
-            for c in range(3)
+            for c in range(n_chan)
         ]
         gr = jnp.zeros((rows, _LANE), jnp.float32)
         gg = jnp.zeros((rows, _LANE), jnp.float32)

@@ -135,10 +135,12 @@ def build_scene(
     )
     cluster_records = np.ascontiguousarray(cluster_records.reshape(-1))
 
-    # Envmap kernel layout: flat texels, 128 per row, rows padded to 8.
+    # Envmap kernel layout: flat texels, 128 per row, rows padded to 32
+    # (the env scan loads row-blocks of up to 32 at dynamic offsets
+    # aligned to the block size; padding keeps every load in-channel).
     flat = envmap.reshape(-1, 3)
     n_tex = flat.shape[0]
-    rows = _round_up(max(n_tex, 1), 128 * 8) // 128
+    rows = _round_up(max(n_tex, 1), 128 * 32) // 128
     env_packed = np.zeros((3, rows, 128), np.float32)
     for c in range(3):
         env_packed[c].reshape(-1)[:n_tex] = flat[:, c]
