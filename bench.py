@@ -194,7 +194,7 @@ def main():
         sums = []
         for b in range(BATCH):
             r, g, b_ = frame_call(
-                scene.tri_packed, scene.tri_norm_packed,
+                scene.tri_packed, scene.tri_norm_vmem,
                 scene.cluster_bounds, scene.sub_bounds,
                 scene.env_packed.reshape(-1, 128), scalars[b],
                 width=cfg.width, height=cfg.height, spp=cfg.spp,

@@ -65,7 +65,7 @@ TILE_W = 32
 _N_BASE_SCALARS = 18
 
 
-def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
+def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                   out_r, out_g, out_b,
                   p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
                   rad_r, rad_g, rad_b,
@@ -223,10 +223,10 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
         # contribute black — RayTracing.hlsl:82): any-hit mode skips
         # winner index/normal tracking and self-drains.
         traverse_tile(tmin, tmax, num_clusters, cluster_size,
-                      tri_sm, norm_sm, cluster_sm, subs_sm,
+                      tri_sm, None, cluster_sm, subs_sm,
                       o_x, o_y, o_z, d_x, d_y, d_z, cu,
                       best_t, best_i, best_nx, best_ny, best_nz,
-                      any_hit=is_last, stream=stream)
+                      any_hit=is_last, stream=stream, norm_vmem=norm_vmem)
 
         t = best_t[:]
         hit = (t < tmax) & alive
@@ -325,16 +325,18 @@ def _frame_kernel(scalars_sm, tri_sm, norm_sm, cluster_sm, subs_sm, env_ref,
     jax.lax.fori_loop(0, group, tile, 0)
 
 
-def _frame_kernel_streamed(scalars_sm, records, cluster_sm, env_ref,
+def _frame_kernel_streamed(scalars_sm, records, cluster_sm, norm_vmem,
+                           env_ref,
                            out_r, out_g, out_b,
                            p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
                            rad_r, rad_g, rad_b,
                            best_t, best_i, best_nx, best_ny, best_nz,
                            flags_sm, rec_scratch, dma_sems, **kw):
-    """Streamed-geometry arity adapter: triangle/normal/subcluster data
-    arrives per visited cluster via HBM->SMEM DMA (traverse_tile stream
-    mode) instead of SMEM-resident tables."""
-    _frame_kernel(scalars_sm, None, None, cluster_sm, None, env_ref,
+    """Streamed-geometry arity adapter: triangle/subcluster data arrives
+    per visited cluster via HBM->SMEM DMA (traverse_tile stream mode)
+    instead of SMEM-resident tables; normals resolve from the VMEM gather
+    table like the resident path."""
+    _frame_kernel(scalars_sm, None, norm_vmem, cluster_sm, None, env_ref,
                   out_r, out_g, out_b,
                   p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
                   rad_r, rad_g, rad_b,
@@ -355,7 +357,7 @@ def _pick_group(n_tiles: int) -> int:
     static_argnames=("width", "height", "spp", "max_refract", "max_reflect",
                      "env_h", "env_w", "interpret", "cluster_size"),
 )
-def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
+def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
                env_flat, scalars, width, height, spp, max_refract,
                max_reflect, env_h, env_w, interpret=False,
                cluster_records=None, cluster_size=None):
@@ -365,12 +367,14 @@ def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
     ``scalars`` is the flat float32 vector described at the top of this
     module (camera + limits + jitter). width/height are the *unpadded*
     image dims (raygen NDC scale); the output covers the padded grid.
+    ``tri_norm_vmem`` is the scene's (9*Rn, 128) normal gather table
+    (deferred winner-normal resolve) — used by both modes.
 
     Pass ``cluster_records`` (scene.cluster_records) with tri_packed /
-    tri_norm_packed / sub_bounds set to None to select the size-agnostic
-    streaming path: triangle data lives in HBM and visited clusters are
-    DMA'd into a 16-slot SMEM ring (traverse_tile stream mode) — for
-    scenes whose tables exceed the SMEM budget.
+    sub_bounds set to None to select the size-agnostic streaming path:
+    triangle data lives in HBM and visited clusters are DMA'd into a
+    16-slot SMEM ring (traverse_tile stream mode) — for scenes whose
+    tables exceed the SMEM budget.
     """
     streamed = tri_packed is None
     assert (not streamed) or cluster_size is not None, (
@@ -423,10 +427,11 @@ def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
             pl.BlockSpec(memory_space=pltpu.ANY),    # cluster records (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # normal table (9Rn,128)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # env (3R, 128)
         ]
         operands = (scalars, cluster_records, cluster_bounds.reshape(-1),
-                    env_flat)
+                    tri_norm_vmem, env_flat)
         scratch += [
             pltpu.SMEM((N_STREAM_SLOTS * rec_pad,), jnp.float32),
             pltpu.SemaphoreType.DMA((N_STREAM_SLOTS,)),
@@ -436,13 +441,13 @@ def frame_call(tri_packed, tri_norm_packed, cluster_bounds, sub_bounds,
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tris flat
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # normals flat
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # normal table (9Rn,128)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
             pl.BlockSpec(memory_space=pltpu.SMEM),   # subclusters flat
             pl.BlockSpec(memory_space=pltpu.VMEM),   # env (3R, 128)
         ]
         operands = (scalars, tri_packed.reshape(-1),
-                    tri_norm_packed.reshape(-1), cluster_bounds.reshape(-1),
+                    tri_norm_vmem, cluster_bounds.reshape(-1),
                     sub_bounds.reshape(-1), env_flat)
     return pl.pallas_call(
         kern,
@@ -480,8 +485,10 @@ SMEM_TABLE_BUDGET = 1000 * 2 ** 10  # resident tri tables cap (bytes)
 
 def fits_smem(scene) -> bool:
     """Whether the scene's triangle tables fit SMEM-resident; otherwise
-    the streaming (HBM-record DMA) traversal is used."""
-    n = (scene.tri_packed.size + scene.tri_norm_packed.size
+    the streaming (HBM-record DMA) traversal is used. Normals are not
+    counted: they live in a VMEM gather table in both modes (deferred
+    winner-normal resolve), which doubles the resident capacity."""
+    n = (scene.tri_packed.size
          + scene.cluster_bounds.size + scene.sub_bounds.size)
     return n * 4 <= SMEM_TABLE_BUDGET
 
@@ -498,10 +505,10 @@ def render_frame_fused(scene, frame, cfg, interpret: bool = False,
     if streamed is None:
         streamed = not fits_smem(scene)
     if streamed:
-        geom = (None, None, scene.cluster_bounds, None)
+        geom = (None, scene.tri_norm_vmem, scene.cluster_bounds, None)
         rec = scene.cluster_records
     else:
-        geom = (scene.tri_packed, scene.tri_norm_packed,
+        geom = (scene.tri_packed, scene.tri_norm_vmem,
                 scene.cluster_bounds, scene.sub_bounds)
         rec = None
     cs = scene.tri_packed.shape[0] // scene.cluster_bounds.shape[0]

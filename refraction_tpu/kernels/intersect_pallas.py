@@ -123,7 +123,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
                   best_t, best_i, best_nx, best_ny, best_nz,
-                  any_hit: bool = False, stream=None):
+                  any_hit: bool = False, stream=None, norm_vmem=None):
     """Closest-hit traversal of one (8,128) ray tile; results land in the
     best_* scratch refs. Shared by the standalone closest-hit kernel and
     the fused wavefront megakernels.
@@ -140,6 +140,16 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     dropped to -1 on its first accepted hit, which removes it from every
     later box's improvability bits — the scan drains itself.
 
+    With ``norm_vmem`` (the scene's (9*Rn, 128) tri_norm_vmem table as a
+    VMEM ref) winner-normal interpolation is DEFERRED: the inner triangle
+    loop tracks only (t, id, u, v) — saving 9 SMEM loads + ~19 vector ops
+    per candidate triangle (measured 7.7 ms of a 24 ms monkey 1080p
+    frame) — and one post-traversal pass gathers each lane's winner
+    normals from the table with the envmap kernel's windowed cross-lane
+    gather (winner ids are Morton-coherent, so the row window is narrow).
+    ``norm_sm`` is ignored in this mode; the arithmetic is bit-identical
+    (same lerp expression, same winner (u, v)).
+
     With ``stream=(records, rec_scratch, dma_sems)`` the per-cluster
     triangle/normal/subcluster data is NOT SMEM-resident (tri_sm, norm_sm
     and subs_sm must be None): only the cluster AABBs stay in SMEM, and
@@ -151,13 +161,19 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     scene size — RefractionDemo.cpp:272-361): SMEM holds O(num_clusters)
     bounds + a constant ring, whatever the triangle count."""
     alive = cu != 0.0
+    defer_norms = norm_vmem is not None
 
     best_t[:] = jnp.broadcast_to(tmax, (_SUB, _LANE))
     if not any_hit:
         best_i[:] = jnp.zeros((_SUB, _LANE), jnp.int32)
         best_nx[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
-        best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
-        best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+        # In defer mode best_ny holds winner-v until the resolve pass
+        # (default normal (0,1,0) is applied there instead).
+        if defer_norms:
+            best_ny[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+        else:
+            best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
+            best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
 
     # Safe reciprocal directions for the conservative slab test: clamping
     # tiny components can only widen the hit interval (false positives are
@@ -350,6 +366,17 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             # Mark and retire the lane (see docstring).
             return (jnp.where(upd, jnp.float32(-1.0), bt),)
 
+        if defer_norms:
+            # Winner (u, v) only; normals resolve in one gather pass
+            # after traversal (see _resolve_normals).
+            bt, bi, bu, bv = best
+            upd = cond & (t < bt)
+            bt = jnp.where(upd, t, bt)
+            bi = jnp.where(upd, ti, bi)
+            bu = jnp.where(upd, u, bu)
+            bv = jnp.where(upd, v, bv)
+            return bt, bi, bu, bv
+
         bt, bi, bx, by, bz = best
         upd = cond & (t < bt)
         bt = jnp.where(upd, t, bt)
@@ -383,6 +410,10 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         def visit_sub(sl):
             if any_hit:
                 best = (best_t[:],)
+            elif defer_norms:
+                # best_nx/best_ny double as winner-u / winner-v storage
+                # until the resolve pass overwrites them with normals.
+                best = (best_t[:], best_i[:], best_nx[:], best_ny[:])
             else:
                 best = (best_t[:], best_i[:], best_nx[:], best_ny[:],
                         best_nz[:])
@@ -396,7 +427,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 best_i[:] = best[1]
                 best_nx[:] = best[2]
                 best_ny[:] = best[3]
-                best_nz[:] = best[4]
+                if not defer_norms:
+                    best_nz[:] = best[4]
 
         return visit_sub
 
@@ -439,6 +471,68 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_clusters,
                visit_cluster, pre_visit=pre,
                bits_per_word=_GROUP_BITS if stream is not None else 32)
+
+    # ---- Deferred winner-normal resolve: ONE windowed gather pass over
+    # the tile's winner triangle ids (Morton-coherent, so the id window is
+    # narrow — a whole 1024-tri scene is a single 8-row group). The lerp
+    # expression and winner (u, v) are exactly those the inline path would
+    # have used, so results are bit-identical.
+    if (not any_hit) and defer_norms:
+        if "nonorm" in _ABLATE:
+            best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
+            best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+            return
+        rows_n = norm_vmem.shape[0] // 9
+        n_all = rows_n // _SUB  # total 8-row groups in the table (static)
+        hitm = (best_t[:] < tmax) & alive
+        bi = best_i[:]
+        bu = best_nx[:]
+        bv = best_ny[:]
+        q = bi // _LANE
+        r = bi % _LANE
+
+        def _norm_group(base, accs):
+            nx, ny, nz = accs
+            brow = q - base
+            tiles = [
+                norm_vmem[pl.ds(c * rows_n + base, _SUB), :]
+                for c in range(9)
+            ]
+            for j in range(_SUB):
+                mj = hitm & (brow == j)
+                g = [
+                    jnp.take_along_axis(
+                        jnp.broadcast_to(t[j:j + 1, :], (_SUB, _LANE)),
+                        r, axis=1)
+                    for t in tiles
+                ]
+                nx = jnp.where(mj, g[0] + bu * g[3] + bv * g[6], nx)
+                ny = jnp.where(mj, g[1] + bu * g[4] + bv * g[7], ny)
+                nz = jnp.where(mj, g[2] + bu * g[5] + bv * g[8], nz)
+            return nx, ny, nz
+
+        accs0 = (jnp.zeros((_SUB, _LANE), jnp.float32),
+                 jnp.ones((_SUB, _LANE), jnp.float32),
+                 jnp.zeros((_SUB, _LANE), jnp.float32))
+        if n_all <= 2:
+            # Statically tiny table (<=2048 tris): scan it whole — no
+            # window reductions, no dynamic loop bound, zero stalls.
+            accs = accs0
+            for gi in range(n_all):
+                accs = _norm_group(jnp.int32(gi * _SUB), accs)
+            nx, ny, nz = accs
+        else:
+            big = jnp.int32(2 ** 30)
+            q_lo = _roll_tree(jnp.where(hitm, q, big), jnp.minimum)
+            q_hi = _roll_tree(jnp.where(hitm, q, -1), jnp.maximum)
+            g0 = (q_lo // _SUB) * _SUB
+            n_groups = q_hi // _SUB - q_lo // _SUB + 1  # <=0: no lane hit
+            nx, ny, nz = jax.lax.fori_loop(
+                0, n_groups,
+                lambda i, a: _norm_group(g0 + i * _SUB, a), accs0)
+        best_nx[:] = nx
+        best_ny[:] = ny
+        best_nz[:] = nz
 
 
 def _pad_rays(x, n_pad):

@@ -102,13 +102,15 @@ def make_renderer(
         @jax.jit
         def _render_fused(scene: Scene, scalars: jnp.ndarray):
             if fits_smem(scene):  # shape-derived: resolved at trace time
-                geom = (scene.tri_packed, scene.tri_norm_packed,
+                geom = (scene.tri_packed, scene.tri_norm_vmem,
                         scene.cluster_bounds, scene.sub_bounds)
                 rec = None
             else:
                 # Size-agnostic streaming path: triangle data stays in HBM
-                # and visited clusters DMA into an SMEM ring.
-                geom = (None, None, scene.cluster_bounds, None)
+                # and visited clusters DMA into an SMEM ring (normals
+                # resolve from the VMEM gather table in both modes).
+                geom = (None, scene.tri_norm_vmem, scene.cluster_bounds,
+                        None)
                 rec = scene.cluster_records
             cs = (scene.tri_packed.shape[0]
                   // scene.cluster_bounds.shape[0])

@@ -50,6 +50,11 @@ class Scene(NamedTuple):
                              # streaming traversal DMAs per visited cluster
                              # (size-agnostic path; kernels/intersect_pallas
                              # rec_len_for)
+    tri_norm_vmem: np.ndarray  # (9*Rn, 128) float32 normal gather table:
+                             # channel c of [nA | nB-nA | nC-nA] for tri ti
+                             # lives at row c*Rn + ti//128, lane ti%128. Used
+                             # by the deferred winner-normal resolve (the
+                             # inner tri loop tracks (u, v, id) only)
 
     @property
     def num_tris(self) -> int:
@@ -135,6 +140,18 @@ def build_scene(
     )
     cluster_records = np.ascontiguousarray(cluster_records.reshape(-1))
 
+    # Deferred-normal gather table: the traversal inner loop no longer
+    # interpolates candidate normals (9 SMEM loads + ~19 vector ops per
+    # visited triangle — measured 7.7 ms of a 24 ms monkey 1080p frame);
+    # it tracks the winner's (u, v, id) and a post-traversal pass gathers
+    # the winner's 9 normal floats from this VMEM table with the same
+    # windowed cross-lane-gather trick as the envmap kernel.
+    rows_n = _round_up(t_pad, 128 * 8) // 128
+    tri_norm_vmem = np.zeros((9, rows_n, 128), np.float32)
+    for c in range(9):
+        tri_norm_vmem[c].reshape(-1)[:t_pad] = tri_norm_packed[:, c]
+    tri_norm_vmem = tri_norm_vmem.reshape(9 * rows_n, 128)
+
     # Envmap kernel layout: flat texels, 128 per row, rows padded to 32
     # (the env scan loads row-blocks of up to 32 at dynamic offsets
     # aligned to the block size; padding keeps every load in-channel).
@@ -159,6 +176,7 @@ def build_scene(
         envmap=envmap,
         env_packed=env_packed,
         cluster_records=cluster_records,
+        tri_norm_vmem=tri_norm_vmem,
     )
     meta = SceneMeta(
         num_real_tris=t_real,
