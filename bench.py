@@ -136,7 +136,7 @@ def main():
         ),
         max_refract_depth=4,
         backend="auto",
-        cluster_size=128,
+        cluster_size=None,  # auto: 256 for monkey (scene.auto_cluster_size)
     )
     scene, meta = load_scene(cfg)
     scene = scene_to_device(scene)

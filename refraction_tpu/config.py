@@ -83,8 +83,9 @@ class RenderConfig:
     backend: str = "auto"
 
     # Cluster size (triangles per Morton-ordered cluster) for the Pallas
-    # block-skip culling; must be a multiple of 8.
-    cluster_size: int = 64
+    # block-skip culling; must be a multiple of 8. None = auto: resolved
+    # per scene from the triangle count (see auto_cluster_size).
+    cluster_size: int | None = None
 
     # Device mesh: number of devices to shard the image over (data parallel
     # over pixels; geometry + envmap replicated). 1 = single device.

@@ -186,12 +186,25 @@ def build_scene(
     return scene, meta
 
 
+def auto_cluster_size(num_tris: int) -> int:
+    """Empirical per-scene cluster size (device-ms sweeps at 1080p on one
+    v5e: monkey 967t 256>128>64, shell 1536t 128>256, ott 12877t
+    256>512>128 — small and large scenes like coarse clusters, the
+    nested-shell mid range likes finer culling)."""
+    if num_tris <= 1100:
+        return 256
+    if num_tris <= 8192:
+        return 128
+    return 256
+
+
 def load_scene(cfg: RenderConfig) -> tuple[Scene, SceneMeta]:
     """Load scene + envmap from cfg paths (the `initialize` asset ingest,
     RefractionDemo.cpp:527,537-538)."""
     mesh = parse_obj(cfg.scene_path)
     envmap = load_texture(cfg.envmap_path)
-    scene, meta = build_scene(mesh, envmap, cfg.cluster_size)
+    cs = cfg.cluster_size or auto_cluster_size(mesh.num_tris)
+    scene, meta = build_scene(mesh, envmap, cs)
     meta = dataclasses.replace(
         meta, scene_path=cfg.scene_path, envmap_path=cfg.envmap_path
     )

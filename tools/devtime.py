@@ -65,7 +65,8 @@ def main():
         scene_path=os.path.join(
             os.environ.get("RRT_ASSET_DIR", "/root/reference"), scene_name),
         max_refract_depth=bounces, backend="auto",
-        cluster_size=int(os.environ.get("RRT_CLUSTER", "128")),
+        cluster_size=(int(os.environ["RRT_CLUSTER"])
+                      if os.environ.get("RRT_CLUSTER") else None),
     )
     scene, meta = load_scene(cfg)
     scene = scene_to_device(scene)
@@ -74,7 +75,7 @@ def main():
     print(json.dumps({
         "scene": scene_name, "tris": meta.num_real_tris,
         "wxh": f"{w}x{h}", "bounces": bounces,
-        "cluster_size": cfg.cluster_size,
+        "cluster_size": meta.cluster_size,
         "device_ms": [round(d, 2) for d in durs],
         "median_ms": round(durs[len(durs) // 2], 2) if durs else None,
     }))
