@@ -106,8 +106,10 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
 
 def rec_len_for(cluster_size: int) -> int:
     """Used float count of one streamed cluster record:
-    [subcluster AABBs (cs/8 x 6) | tri9 x cs | norm9 x cs]."""
-    return (cluster_size // 8) * 6 + cluster_size * 18
+    [subcluster AABBs (cs/8 x 6) | tri9 x cs]. Normals are NOT streamed —
+    they resolve from the scene's VMEM gather table (deferred
+    winner-normal resolve), which halves per-cluster DMA bytes."""
+    return (cluster_size // 8) * 6 + cluster_size * 9
 
 
 def rec_pad_for(cluster_size: int) -> int:
@@ -283,10 +285,11 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     subs_per_cluster = cluster_size // 8
     if stream is not None:
         assert tri_sm is None and norm_sm is None and subs_sm is None
+        assert defer_norms or any_hit, (
+            "stream mode requires norm_vmem (records carry no normals)")
         records, rec_scratch, dma_sems = stream
         rec_len = rec_pad_for(cluster_size)
         tri_off = subs_per_cluster * 6
-        norm_off = tri_off + cluster_size * 9
 
         def _rec_dma(ci, slot):
             return pltpu.make_async_copy(
@@ -450,7 +453,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             gated_loop(
                 rec_scratch, base, jnp.int32(0), subs_per_cluster,
                 visit_subs(ci, rec_scratch, base + tri_off,
-                           rec_scratch, base + norm_off),
+                           None, 0),
             )
 
         pre = _issue_dmas

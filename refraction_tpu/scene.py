@@ -46,10 +46,11 @@ class Scene(NamedTuple):
     env_packed: np.ndarray   # (3, R, 128) float32: flattened H*W texels per
                              # channel, 128 per row (envmap kernel layout)
     cluster_records: np.ndarray  # (C * rec_pad,) float32 per-cluster record
-                             # [sub AABBs | tri9 | norm9] — the HBM table the
+                             # [sub AABBs | tri9] — the HBM table the
                              # streaming traversal DMAs per visited cluster
                              # (size-agnostic path; kernels/intersect_pallas
-                             # rec_len_for)
+                             # rec_len_for; normals resolve from
+                             # tri_norm_vmem instead of streaming)
     tri_norm_vmem: np.ndarray  # (9*Rn, 128) float32 normal gather table:
                              # channel c of [nA | nB-nA | nC-nA] for tri ti
                              # lives at row c*Rn + ti//128, lane ti%128. Used
@@ -127,14 +128,16 @@ def build_scene(
     sub_bounds = np.ascontiguousarray(np.concatenate([sub_lo, sub_hi], axis=1))
     n_clusters = lo.shape[0]
     spc = cluster_size // 8
-    rec_len = spc * 6 + cluster_size * 18
+    # Record layout must match kernels/intersect_pallas.rec_len_for:
+    # normals are not streamed (deferred winner-normal resolve reads the
+    # VMEM gather table below), halving per-cluster DMA bytes.
+    rec_len = spc * 6 + cluster_size * 9
     rec_pad = ((rec_len + 1023) // 1024) * 1024  # whole (8,128) DMA tiles
     cluster_records = np.zeros((n_clusters, rec_pad), np.float32)
     cluster_records[:, :rec_len] = np.concatenate(
         [
             sub_bounds.reshape(n_clusters, spc * 6),
             tri_packed.reshape(n_clusters, cluster_size * 9),
-            tri_norm_packed.reshape(n_clusters, cluster_size * 9),
         ],
         axis=1,
     )
