@@ -32,6 +32,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -238,14 +239,29 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
 
         @pl.when(word != 0)
         def _():
-            def bit_body(b, _):
-                @pl.when((word >> b) & 1 != 0)
-                def _():
-                    visit(wi * _WORD + b)
+            # Popcount iteration: exactly one scalar-loop trip per SET
+            # bit (isolate lowest bit, index it, clear it) instead of 32
+            # trips with a branch each — scattered rounds have ~4-8
+            # occupied groups per word.
+            def cond(w):
+                return w != 0
 
-                return 0
+            def body(w):
+                iso = jnp.bitwise_and(w, jnp.int32(0) - w)
+                # iso has exactly one set bit; its index from five mask
+                # tests (scalar popcount/bitcast have no Mosaic lowering).
+                b = jnp.int32(0)
+                for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
+                                    (4, 0xF0F0F0F0), (8, 0xFF00FF00),
+                                    (16, 0xFFFF0000)):
+                    mk = jnp.int32(np.int32(np.uint32(mask)))
+                    b = b + jnp.where(
+                        jnp.bitwise_and(iso, mk) != 0,
+                        jnp.int32(shift), jnp.int32(0))
+                visit(wi * _WORD + b)
+                return jnp.bitwise_xor(w, iso)
 
-            jax.lax.fori_loop(0, _WORD, bit_body, 0)
+            jax.lax.while_loop(cond, body, word)
 
         return 0
 
