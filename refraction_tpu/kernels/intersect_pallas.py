@@ -269,14 +269,25 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 if pre_visit is not None:
                     pre_visit(word, start + rel0)
 
-                def bit_body(b, _):
-                    @pl.when((word >> b) & 1 != 0)
-                    def _():
-                        visit(start + rel0 + b)
+                # Popcount iteration: one scalar-loop trip per SET bit,
+                # ascending (same visit order as a dense scan, so winner
+                # tie-breaking is unchanged). Scalar popcount/bitcast
+                # have no Mosaic lowering; the single set bit of `iso`
+                # indexes via five mask tests.
+                def body(w):
+                    iso = jnp.bitwise_and(w, jnp.int32(0) - w)
+                    b = jnp.int32(0)
+                    for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
+                                        (4, 0xF0F0F0F0), (8, 0xFF00FF00),
+                                        (16, 0xFFFF0000)):
+                        mk = jnp.int32(np.int32(np.uint32(mask)))
+                        b = b + jnp.where(
+                            jnp.bitwise_and(iso, mk) != 0,
+                            jnp.int32(shift), jnp.int32(0))
+                    visit(start + rel0 + b)
+                    return jnp.bitwise_xor(w, iso)
 
-                    return 0
-
-                jax.lax.fori_loop(0, min(bits_per_word, count), bit_body, 0)
+                jax.lax.while_loop(lambda w: w != 0, body, word)
 
             return 0
 

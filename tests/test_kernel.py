@@ -87,3 +87,33 @@ def test_render_pallas_backend_matches_oracle(sphere_scene, small_cfg):
     img_j = np.asarray(render_frame(scene, cfg, angle=0.85, intersect_fn=intersect))
     img_o = render_oracle(scene, cfg, angle=0.85)
     assert rmse(img_j, img_o) < 1e-4
+
+
+def test_norm_vmem_table_layout(sphere_scene):
+    """tri_norm_vmem is the channel-major gather-table view of
+    tri_norm_packed: channel c of triangle ti at row c*Rn + ti//128,
+    lane ti%128 (the deferred winner-normal resolve's contract)."""
+    scene, meta = sphere_scene
+    packed = np.asarray(scene.tri_norm_packed)
+    table = np.asarray(scene.tri_norm_vmem)
+    t_pad = packed.shape[0]
+    rows_n = table.shape[0] // 9
+    assert table.shape[1] == 128 and rows_n % 8 == 0
+    for ti in (0, 1, t_pad // 2, t_pad - 1):
+        for c in range(9):
+            got = table[c * rows_n + ti // 128, ti % 128]
+            assert got == packed[ti, c], (ti, c)
+    # Padding rows (beyond t_pad) are zero.
+    flat0 = table[:rows_n].reshape(-1)
+    assert not flat0[t_pad:].any()
+
+
+def test_auto_cluster_size_table():
+    from refraction_tpu.scene import auto_cluster_size
+
+    assert auto_cluster_size(12) == 256      # cube
+    assert auto_cluster_size(967) == 256     # monkey
+    assert auto_cluster_size(1536) == 128    # shell
+    assert auto_cluster_size(12877) == 256   # ott
+    for t in (1, 100, 5000, 100000):
+        assert auto_cluster_size(t) % 8 == 0
