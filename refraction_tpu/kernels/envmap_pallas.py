@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.config import REF_PI_ENVMAP
-from refraction_tpu.kernels.intersect_pallas import _ABLATE
+from refraction_tpu.kernels.intersect_pallas import _ABLATE, iter_set_bits
 from refraction_tpu.scene import Scene
 from refraction_tpu.utils.fastmath import acos, atan2
 
@@ -239,29 +239,12 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
 
         @pl.when(word != 0)
         def _():
-            # Popcount iteration: exactly one scalar-loop trip per SET
-            # bit (isolate lowest bit, index it, clear it) instead of 32
-            # trips with a branch each — scattered rounds have ~4-8
-            # occupied groups per word.
-            def cond(w):
-                return w != 0
-
-            def body(w):
-                iso = jnp.bitwise_and(w, jnp.int32(0) - w)
-                # iso has exactly one set bit; its index from five mask
-                # tests (scalar popcount/bitcast have no Mosaic lowering).
-                b = jnp.int32(0)
-                for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
-                                    (4, 0xF0F0F0F0), (8, 0xFF00FF00),
-                                    (16, 0xFFFF0000)):
-                    mk = jnp.int32(np.int32(np.uint32(mask)))
-                    b = b + jnp.where(
-                        jnp.bitwise_and(iso, mk) != 0,
-                        jnp.int32(shift), jnp.int32(0))
-                visit(wi * _WORD + b)
-                return jnp.bitwise_xor(w, iso)
-
-            jax.lax.while_loop(cond, body, word)
+            # One scalar-loop trip per SET bit (scattered rounds have
+            # ~4-8 occupied groups per word). A two-level variant (one
+            # coarse word gating the fine words) measured WORSE
+            # (monkey +0.7 ms, ott +0.7): windows rarely have enough
+            # empty words to amortize the extra reduction.
+            iter_set_bits(word, lambda b: visit(wi * _WORD + b))
 
         return 0
 

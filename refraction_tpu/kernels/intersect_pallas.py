@@ -121,6 +121,29 @@ def rec_pad_for(cluster_size: int) -> int:
 N_STREAM_SLOTS = 16  # one SMEM record slot per gating-word bit
 
 
+def iter_set_bits(word, visit):
+    """Scalar loop over the SET bits of ``word`` (int32), ascending:
+    one while-loop trip per set bit — isolate the lowest bit, index it
+    via five mask tests (Mosaic lowers neither scalar popcount nor
+    scalar bitcast), visit, clear. Bit 31 (the int32 sign bit) works:
+    ``w & -w`` of INT_MIN is INT_MIN and its masks read index 31."""
+
+    def body(w):
+        iso = jnp.bitwise_and(w, jnp.int32(0) - w)
+        b = jnp.int32(0)
+        for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
+                            (4, 0xF0F0F0F0), (8, 0xFF00FF00),
+                            (16, 0xFFFF0000)):
+            mk = jnp.int32(np.int32(np.uint32(mask)))
+            b = b + jnp.where(
+                jnp.bitwise_and(iso, mk) != 0,
+                jnp.int32(shift), jnp.int32(0))
+        visit(b)
+        return jnp.bitwise_xor(w, iso)
+
+    jax.lax.while_loop(lambda w: w != 0, body, word)
+
+
 def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
@@ -269,25 +292,10 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 if pre_visit is not None:
                     pre_visit(word, start + rel0)
 
-                # Popcount iteration: one scalar-loop trip per SET bit,
-                # ascending (same visit order as a dense scan, so winner
-                # tie-breaking is unchanged). Scalar popcount/bitcast
-                # have no Mosaic lowering; the single set bit of `iso`
-                # indexes via five mask tests.
-                def body(w):
-                    iso = jnp.bitwise_and(w, jnp.int32(0) - w)
-                    b = jnp.int32(0)
-                    for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
-                                        (4, 0xF0F0F0F0), (8, 0xFF00FF00),
-                                        (16, 0xFFFF0000)):
-                        mk = jnp.int32(np.int32(np.uint32(mask)))
-                        b = b + jnp.where(
-                            jnp.bitwise_and(iso, mk) != 0,
-                            jnp.int32(shift), jnp.int32(0))
-                    visit(start + rel0 + b)
-                    return jnp.bitwise_xor(w, iso)
-
-                jax.lax.while_loop(lambda w: w != 0, body, word)
+                # One scalar-loop trip per SET bit, ascending (same visit
+                # order as a dense scan, so closest-hit tie-breaking is
+                # unchanged).
+                iter_set_bits(word, lambda b: visit(start + rel0 + b))
 
             return 0
 
