@@ -193,6 +193,7 @@ def main():
         # overlaps batch k's execution (2-deep pipeline of batches).
         sums = []
         for b in range(BATCH):
+            coded = scene.env_codes.shape[0] > 1
             r, g, b_ = frame_call(
                 scene.tri_packed, scene.tri_norm_vmem,
                 scene.cluster_bounds, scene.sub_bounds,
@@ -201,6 +202,8 @@ def main():
                 max_refract=cfg.max_refract_depth,
                 max_reflect=cfg.max_reflect_depth,
                 env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
+                env_codes=scene.env_codes if coded else None,
+                env_lut=scene.env_lut if coded else None,
             )
             sums.append(r[0, 0] + g[0, 0] + b_[0, 0])
         return jnp.sum(jnp.stack(sums))

@@ -93,6 +93,36 @@ def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
     jax.lax.fori_loop(0, GROUP, tile, 0)
 
 
+def _lut_decode(codes, lut_ref, rows):
+    """Decode (rows,128) int32 packed texel codes (r | g<<8 | b<<16 LUT
+    indices) into three f32 tiles via the 256-entry LUT (lut_ref is
+    (2,128): code c at row c//128, lane c%128). Exact: the LUT holds the
+    identical f32 channel values the 3-plane layout would store."""
+    row0 = jnp.broadcast_to(lut_ref[0:1, :], (rows, _LANE))
+    row1 = jnp.broadcast_to(lut_ref[1:2, :], (rows, _LANE))
+
+    def chan(sh):
+        c = jnp.bitwise_and(jnp.right_shift(codes, sh), jnp.int32(255))
+        lane = jnp.bitwise_and(c, jnp.int32(127))
+        v0 = jnp.take_along_axis(row0, lane, axis=1)
+        v1 = jnp.take_along_axis(row1, lane, axis=1)
+        return jnp.where(c < 128, v0, v1)
+
+    return chan(0), chan(8), chan(16)
+
+
+def _env_indices(x, y, z, height, width):
+    """Equirect texel address (RayTracing.hlsl:133-134): per-lane flat
+    row q = f//128 and lane r = f%128."""
+    pi = jnp.float32(REF_PI_ENVMAP)
+    theta = width * (atan2(x, z) / pi + 1.0) / 2.0
+    phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
+    ix = jnp.clip(theta.astype(jnp.int32), 0, width - 1)
+    iy = jnp.clip(phi.astype(jnp.int32), 0, height - 1)
+    f = iy * width + ix
+    return f // _LANE, f % _LANE
+
+
 def env_window_tile(x, y, z, alive, env_ref,
                     height: int, width: int, rows_per_chan: int):
     """Equirect texel lookup for one (R,128) tile of directions (R = any
@@ -103,18 +133,14 @@ def env_window_tile(x, y, z, alive, env_ref,
     Returns (r, g, b) tiles — zeros where not alive. If *no* lane is
     alive the row window is empty and the scan loop self-gates to zero
     iterations, so callers need no any-alive gate. ``env_ref`` is the
-    (3R, 128) flat-packed map in VMEM. Shared by the standalone env kernel
-    and the wavefront megakernels."""
+    (3R, 128) flat-packed map in VMEM — or a ``(codes_ref, lut_ref)``
+    tuple for the code-packed layout (one int32 gather per lane-row
+    instead of three f32; exact LUT decode once per call). Shared by the
+    standalone env kernel and the wavefront megakernels."""
+    coded = isinstance(env_ref, tuple)
     rows = x.shape[0]
     zero = jnp.zeros((rows, _LANE), jnp.float32)
-    pi = jnp.float32(REF_PI_ENVMAP)
-    theta = width * (atan2(x, z) / pi + 1.0) / 2.0
-    phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
-    ix = jnp.clip(theta.astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(phi.astype(jnp.int32), 0, height - 1)
-    f = iy * width + ix
-    q = f // _LANE
-    r = f % _LANE
+    q, r = _env_indices(x, y, z, height, width)
 
     big = jnp.int32(2 ** 30)
     q_lo = _roll_min(jnp.where(alive, q, big))
@@ -124,6 +150,26 @@ def env_window_tile(x, y, z, alive, env_ref,
     n_groups = q_hi // scan - q_lo // scan + 1
     if "envnoscan" in _ABLATE:
         n_groups = jnp.int32(0)
+
+    if coded:
+        codes_ref, lut_ref = env_ref
+
+        def cgroup(i, code_acc):
+            base = g0 + i * scan
+            brow = q - base
+            tile = codes_ref[pl.ds(base, scan), :]
+            for j in range(scan):
+                mj = alive & (brow == j)
+                row = jnp.broadcast_to(tile[j:j + 1, :], (rows, _LANE))
+                g = jnp.take_along_axis(row, r, axis=1)
+                code_acc = jnp.where(mj, g, code_acc)
+            return code_acc
+
+        codes = jax.lax.fori_loop(
+            0, n_groups, cgroup, jnp.zeros((rows, _LANE), jnp.int32))
+        cr, cg, cb = _lut_decode(codes, lut_ref, rows)
+        return (jnp.where(alive, cr, 0.0), jnp.where(alive, cg, 0.0),
+                jnp.where(alive, cb, 0.0))
 
     n_chan = 1 if "envr" in _ABLATE else 3  # gather-cost ablation knob
 
@@ -173,16 +219,10 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
     (intersect_pallas.gated_loop): per lane ``1 << (group - word_base)``,
     one OR roll-tree reduction per word, and ``@pl.when`` skips empty
     groups — scattered windows collapse to the occupied few."""
+    coded = isinstance(env_ref, tuple)
     rows = x.shape[0]
-    pi = jnp.float32(REF_PI_ENVMAP)
     alive = wgt > 0.0
-    theta = width * (atan2(x, z) / pi + 1.0) / 2.0
-    phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
-    ix = jnp.clip(theta.astype(jnp.int32), 0, width - 1)
-    iy = jnp.clip(phi.astype(jnp.int32), 0, height - 1)
-    f = iy * width + ix
-    q = f // _LANE
-    r = f % _LANE
+    q, r = _env_indices(x, y, z, height, width)
 
     big = jnp.int32(2 ** 30)
     q_lo = _roll_min(jnp.where(alive, q, big))
@@ -200,6 +240,58 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
         for s in _sublane_steps(rows):
             bits = bits | pltpu.roll(bits, s, axis=0)
         return bits[0, 0]
+
+    def word_bits(wi):
+        rel = gq - wi * _WORD
+        in_word = alive & (rel >= 0) & (rel < _WORD)
+        sh = jnp.clip(rel, 0, _WORD - 1)
+        return jnp.where(in_word,
+                         jnp.left_shift(jnp.int32(1), sh), jnp.int32(0))
+
+    if coded:
+        codes_ref, lut_ref = env_ref
+
+        def cvisit(g, code_acc):
+            base = (g_lo + g) * _SUB
+            brow = q - base
+            tile = codes_ref[pl.ds(base, _SUB), :]
+            for j in range(_SUB):
+                mj = alive & (brow == j)
+                row = jnp.broadcast_to(tile[j:j + 1, :], (rows, _LANE))
+                g_ = jnp.take_along_axis(row, r, axis=1)
+                code_acc = jnp.where(mj, g_, code_acc)
+            return code_acc
+
+        def cword_body(wi, code_acc):
+            word = _or_reduce(word_bits(wi))
+
+            # Inline popcount iteration carrying code_acc (pl.when is
+            # statement-only; an empty word exits the while immediately).
+            def body(c):
+                w, acc = c
+                iso = jnp.bitwise_and(w, jnp.int32(0) - w)
+                b = jnp.int32(0)
+                for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
+                                    (4, 0xF0F0F0F0), (8, 0xFF00FF00),
+                                    (16, 0xFFFF0000)):
+                    mk = jnp.int32(np.int32(np.uint32(mask)))
+                    b = b + jnp.where(
+                        jnp.bitwise_and(iso, mk) != 0,
+                        jnp.int32(shift), jnp.int32(0))
+                acc = cvisit(wi * _WORD + b, acc)
+                return jnp.bitwise_xor(w, iso), acc
+
+            _, code_acc = jax.lax.while_loop(
+                lambda c: c[0] != 0, body, (word, code_acc))
+            return code_acc
+
+        codes = jax.lax.fori_loop(
+            0, n_words, cword_body, jnp.zeros((rows, _LANE), jnp.int32))
+        cr, cg, cb = _lut_decode(codes, lut_ref, rows)
+        acc_r[:] = acc_r[:] + wgt * cr
+        acc_g[:] = acc_g[:] + wgt * cg
+        acc_b[:] = acc_b[:] + wgt * cb
+        return
 
     n_chan = 1 if "envr" in _ABLATE else 3  # gather-cost ablation knob
 

@@ -325,24 +325,32 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
     jax.lax.fori_loop(0, group, tile, 0)
 
 
+def _frame_kernel_coded(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm,
+                        env_codes, env_lut, *rest, **kw):
+    """Code-packed-envmap arity adapter (resident geometry): the env
+    operand is the (codes, lut) pair instead of the 3-plane f32 map."""
+    _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm,
+                  (env_codes, env_lut), *rest, **kw)
+
+
 def _frame_kernel_streamed(scalars_sm, records, cluster_sm, norm_vmem,
-                           env_ref,
-                           out_r, out_g, out_b,
-                           p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
-                           rad_r, rad_g, rad_b,
-                           best_t, best_i, best_nx, best_ny, best_nz,
-                           flags_sm, rec_scratch, dma_sems, **kw):
+                           env_ref, *rest, **kw):
     """Streamed-geometry arity adapter: triangle/subcluster data arrives
     per visited cluster via HBM->SMEM DMA (traverse_tile stream mode)
     instead of SMEM-resident tables; normals resolve from the VMEM gather
     table like the resident path."""
+    *mid, rec_scratch, dma_sems = rest
     _frame_kernel(scalars_sm, None, norm_vmem, cluster_sm, None, env_ref,
-                  out_r, out_g, out_b,
-                  p_ox, p_oy, p_oz, p_dx, p_dy, p_dz, p_cull, p_wgt,
-                  rad_r, rad_g, rad_b,
-                  best_t, best_i, best_nx, best_ny, best_nz,
-                  flags_sm,
-                  stream=(records, rec_scratch, dma_sems), **kw)
+                  *mid, stream=(records, rec_scratch, dma_sems), **kw)
+
+
+def _frame_kernel_streamed_coded(scalars_sm, records, cluster_sm, norm_vmem,
+                                 env_codes, env_lut, *rest, **kw):
+    """Streamed geometry + code-packed envmap."""
+    *mid, rec_scratch, dma_sems = rest
+    _frame_kernel(scalars_sm, None, norm_vmem, cluster_sm, None,
+                  (env_codes, env_lut),
+                  *mid, stream=(records, rec_scratch, dma_sems), **kw)
 
 
 def _pick_group(n_tiles: int) -> int:
@@ -360,7 +368,8 @@ def _pick_group(n_tiles: int) -> int:
 def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
                env_flat, scalars, width, height, spp, max_refract,
                max_reflect, env_h, env_w, interpret=False,
-               cluster_records=None, cluster_size=None):
+               cluster_records=None, cluster_size=None,
+               env_codes=None, env_lut=None):
     """Render one frame fully on-device; returns (r, g, b) tile-order
     (rows, 128) radiance planes for an image padded to whole 32x32 tiles.
 
@@ -417,38 +426,49 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nz
         pltpu.SMEM((n_slots,), jnp.int32),       # per-slot live flags
     ]
+    coded = env_codes is not None
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if coded:
+        # Code-packed envmap: one int32 per texel + 256-entry LUT
+        # replaces the 3-plane f32 map (3x fewer env gathers/loads).
+        env_specs = [vmem, vmem]
+        env_ops = (env_codes, env_lut)
+    else:
+        env_specs = [vmem]              # env (3R, 128) f32
+        env_ops = (env_flat,)
     if streamed:
         from refraction_tpu.kernels.intersect_pallas import (
             N_STREAM_SLOTS, rec_pad_for)
 
         rec_pad = rec_pad_for(cluster_size)
-        kern = functools.partial(_frame_kernel_streamed, **static_kw)
+        kern = functools.partial(
+            _frame_kernel_streamed_coded if coded else _frame_kernel_streamed,
+            **static_kw)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
             pl.BlockSpec(memory_space=pltpu.ANY),    # cluster records (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # normal table (9Rn,128)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # env (3R, 128)
-        ]
+            vmem,                                    # normal table (9Rn,128)
+        ] + env_specs
         operands = (scalars, cluster_records, cluster_bounds.reshape(-1),
-                    tri_norm_vmem, env_flat)
+                    tri_norm_vmem) + env_ops
         scratch += [
             pltpu.SMEM((N_STREAM_SLOTS * rec_pad,), jnp.float32),
             pltpu.SemaphoreType.DMA((N_STREAM_SLOTS,)),
         ]
     else:
-        kern = functools.partial(_frame_kernel, **static_kw)
+        kern = functools.partial(
+            _frame_kernel_coded if coded else _frame_kernel, **static_kw)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tris flat
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # normal table (9Rn,128)
+            vmem,                                    # normal table (9Rn,128)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
             pl.BlockSpec(memory_space=pltpu.SMEM),   # subclusters flat
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # env (3R, 128)
-        ]
+        ] + env_specs
         operands = (scalars, tri_packed.reshape(-1),
                     tri_norm_vmem, cluster_bounds.reshape(-1),
-                    sub_bounds.reshape(-1), env_flat)
+                    sub_bounds.reshape(-1)) + env_ops
     return pl.pallas_call(
         kern,
         grid=(grid,),
@@ -512,11 +532,14 @@ def render_frame_fused(scene, frame, cfg, interpret: bool = False,
                 scene.cluster_bounds, scene.sub_bounds)
         rec = None
     cs = scene.tri_packed.shape[0] // scene.cluster_bounds.shape[0]
+    coded = scene.env_codes.shape[0] > 1  # shape-derived static flag
     r, g, b = frame_call(
         *geom, env_flat, scalars, cluster_records=rec, cluster_size=cs,
         width=cfg.width, height=cfg.height, spp=cfg.spp,
         max_refract=cfg.max_refract_depth, max_reflect=cfg.max_reflect_depth,
         env_h=env_h, env_w=env_w, interpret=interpret,
+        env_codes=scene.env_codes if coded else None,
+        env_lut=scene.env_lut if coded else None,
     )
     h_pad = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
     w_pad = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W

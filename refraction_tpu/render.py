@@ -114,6 +114,7 @@ def make_renderer(
                 rec = scene.cluster_records
             cs = (scene.tri_packed.shape[0]
                   // scene.cluster_bounds.shape[0])
+            coded = scene.env_codes.shape[0] > 1  # static (shape-derived)
             r, g, b = frame_call(
                 *geom,
                 scene.env_packed.reshape(-1, 128), scalars,
@@ -122,6 +123,8 @@ def make_renderer(
                 max_reflect=cfg.max_reflect_depth,
                 env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
                 cluster_records=rec, cluster_size=cs,
+                env_codes=scene.env_codes if coded else None,
+                env_lut=scene.env_lut if coded else None,
             )
             rad = jnp.stack(
                 [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)

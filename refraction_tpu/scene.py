@@ -56,6 +56,12 @@ class Scene(NamedTuple):
                              # lives at row c*Rn + ti//128, lane ti%128. Used
                              # by the deferred winner-normal resolve (the
                              # inner tri loop tracks (u, v, id) only)
+    env_codes: np.ndarray    # (R, 128) int32 packed texel codes
+                             # (r | g<<8 | b<<16 indices into env_lut), or a
+                             # (1, 128) zero placeholder when the map has
+                             # >256 distinct channel values (see env_coded)
+    env_lut: np.ndarray      # (2, 128) float32 = the 256-entry decode LUT
+                             # (row-major; code c at row c//128, lane c%128)
 
     @property
     def num_tris(self) -> int:
@@ -165,6 +171,28 @@ def build_scene(
     for c in range(3):
         env_packed[c].reshape(-1)[:n_tex] = flat[:, c]
 
+    # Code-packed variant: when the map has <=256 distinct channel values
+    # (always true for 8-bit PNG sources — the reference's actual asset,
+    # since envMap.hdr is missing upstream), pack each texel as three
+    # 8-bit LUT indices in ONE int32. The fused kernel's env scan then
+    # gathers one int32 per lane instead of three f32 (3x fewer gathers
+    # and tile loads) and decodes via the exact LUT once per call —
+    # bit-identical radiance. Maps with more values (HDR, procedural
+    # float) keep the 3-plane f32 path (placeholder (1, 128) codes).
+    uniq = np.unique(flat)
+    if uniq.size <= 256:
+        lut = np.zeros(256, np.float32)
+        lut[:uniq.size] = uniq
+        idx = np.searchsorted(uniq, flat)  # exact: values come from uniq
+        word = (idx[:, 0] | (idx[:, 1] << 8) | (idx[:, 2] << 16)).astype(
+            np.int32)
+        env_codes = np.zeros((rows, 128), np.int32)
+        env_codes.reshape(-1)[:n_tex] = word
+        env_lut = lut.reshape(2, 128)
+    else:
+        env_codes = np.zeros((1, 128), np.int32)
+        env_lut = np.zeros((2, 128), np.float32)
+
     scene = Scene(
         tri_a=tri_a,
         tri_e1=tri_e1,
@@ -180,6 +208,8 @@ def build_scene(
         env_packed=env_packed,
         cluster_records=cluster_records,
         tri_norm_vmem=tri_norm_vmem,
+        env_codes=env_codes,
+        env_lut=env_lut,
     )
     meta = SceneMeta(
         num_real_tris=t_real,

@@ -127,3 +127,22 @@ def test_fused_streamed_matches_resident(sphere_scene):
     strm = render_frame_fused(sphere_scene, frame, cfg, interpret=True,
                               streamed=True)
     assert np.array_equal(np.asarray(res), np.asarray(strm))
+
+
+def test_fused_coded_envmap_matches_xla():
+    """Code-packed envmap path (<=256 distinct channel values — the
+    8-bit-PNG case, e.g. the reference's envmap.png): exact LUT decode
+    must match the 3-plane f32 path bit-for-bit (scene.py env_codes)."""
+    env = make_gradient_envmap(64, 128)
+    # Quantize to an 8-bit-like value set so the code packing engages.
+    env = np.round(env * 255.0) / 255.0
+    assert np.unique(env).size <= 256
+    scene, _ = build_scene(make_icosphere(2), env.astype(np.float32),
+                           cluster_size=32)
+    assert scene.env_codes.shape[0] > 1  # coded layout selected
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       backend="xla")
+    ref = _xla_image(scene, cfg)
+    fused = render_frame_fused(
+        scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
