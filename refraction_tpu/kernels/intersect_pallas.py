@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from refraction_tpu.scene import Scene
+from refraction_tpu.scene import SUB_TRIS, Scene
 
 BLOCK_RAYS = 1024  # one (8, 128) tile = the skip granularity
 GROUP = 16         # tiles processed per grid program (amortizes per-program
@@ -106,10 +106,10 @@ def _tile_kernel(tmin, tmax, num_clusters, cluster_size,
 
 def rec_len_for(cluster_size: int) -> int:
     """Used float count of one streamed cluster record:
-    [subcluster AABBs (cs/8 x 6) | tri9 x cs]. Normals are NOT streamed —
-    they resolve from the scene's VMEM gather table (deferred
+    [subcluster AABBs (cs/SUB_TRIS x 6) | tri9 x cs]. Normals are NOT
+    streamed — they resolve from the scene's VMEM gather table (deferred
     winner-normal resolve), which halves per-cluster DMA bytes."""
-    return (cluster_size // 8) * 6 + cluster_size * 9
+    return (cluster_size // SUB_TRIS) * 6 + cluster_size * 9
 
 
 def rec_pad_for(cluster_size: int) -> int:
@@ -301,7 +301,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
         jax.lax.fori_loop(0, n_groups, group_body, 0)
 
-    subs_per_cluster = cluster_size // 8
+    subs_per_cluster = cluster_size // SUB_TRIS
     if stream is not None:
         assert tri_sm is None and norm_sm is None and subs_sm is None
         assert defer_norms or any_hit, (
@@ -439,8 +439,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             else:
                 best = (best_t[:], best_i[:], best_nx[:], best_ny[:],
                         best_nz[:])
-            for k in range(8):
-                tl = sl * 8 + k
+            for k in range(SUB_TRIS):
+                tl = sl * SUB_TRIS + k
                 best = tri_body(ci * cluster_size + tl,
                                 tref, tri_base + tl * 9,
                                 nref, norm_base + tl * 9, best)

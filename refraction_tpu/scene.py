@@ -18,6 +18,7 @@ across devices (scenes are tiny — SURVEY.md 2.4) while rays/pixels shard.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -87,6 +88,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Triangles per fine (subcluster) AABB — the traversal's finest gating
+# granularity. Kernel layouts (sub_bounds, cluster_records) derive from
+# it; kernels/intersect_pallas imports it from here.
+SUB_TRIS = int(os.environ.get("RRT_SUBTRIS", "8"))
+
+
 def build_scene(
     mesh: MeshData,
     envmap: np.ndarray,
@@ -115,7 +122,7 @@ def build_scene(
         norm = np.concatenate([norm, pad_norm])
 
     lo, hi = build_clusters(pos, cluster_size)
-    sub_lo, sub_hi = build_clusters(pos, 8)
+    sub_lo, sub_hi = build_clusters(pos, SUB_TRIS)
     tri_a = np.ascontiguousarray(pos[:, 0])
     tri_e1 = np.ascontiguousarray(pos[:, 1] - pos[:, 0])
     tri_e2 = np.ascontiguousarray(pos[:, 2] - pos[:, 0])
@@ -133,7 +140,7 @@ def build_scene(
             axis=1))
     sub_bounds = np.ascontiguousarray(np.concatenate([sub_lo, sub_hi], axis=1))
     n_clusters = lo.shape[0]
-    spc = cluster_size // 8
+    spc = cluster_size // SUB_TRIS
     # Record layout must match kernels/intersect_pallas.rec_len_for:
     # normals are not streamed (deferred winner-normal resolve reads the
     # VMEM gather table below), halving per-cluster DMA bytes.
