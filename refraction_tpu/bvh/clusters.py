@@ -14,9 +14,6 @@ from __future__ import annotations
 import numpy as np
 
 
-SUB_SIZE = 8  # triangles per fine-grained subcluster (kernel inner skip)
-
-
 def build_clusters(tri_pos: np.ndarray, cluster_size: int):
     """Compute AABBs of contiguous clusters of ``cluster_size`` triangles.
 

@@ -50,6 +50,9 @@ _LANE = 128
 # is minor; 16 amortizes the dynamic-offset loads slightly. Must divide
 # the scene.env_packed 32-row channel padding.
 _SCAN_ROWS = int(os.environ.get("RRT_ENV_SCAN", "16"))
+assert 32 % _SCAN_ROWS == 0, (
+    f"RRT_ENV_SCAN={_SCAN_ROWS} must divide the 32-row channel padding "
+    "(scene.env_packed) or scans cross channel boundaries")
 
 
 def _sublane_steps(rows: int):
@@ -322,12 +325,7 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
         acc_b[:] = acc_b[:] + jnp.where(hit_any, wgt * gb, 0.0)
 
     def word_body(wi, _):
-        rel = gq - wi * _WORD
-        in_word = alive & (rel >= 0) & (rel < _WORD)
-        sh = jnp.clip(rel, 0, _WORD - 1)
-        bits = jnp.where(in_word,
-                         jnp.left_shift(jnp.int32(1), sh), jnp.int32(0))
-        word = _or_reduce(bits)
+        word = _or_reduce(word_bits(wi))
 
         @pl.when(word != 0)
         def _():

@@ -400,6 +400,9 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
     env_rows = env_flat.shape[0] // 3
     n_slots = 2 ** max(min(max_reflect, max_refract), 0)
+    assert n_slots <= 32, (
+        f"n_slots={n_slots}: the packed liveness pass holds one bit per "
+        "slot in an int32 (min(max_reflect, max_refract) <= 5)")
 
     out_spec = pl.BlockSpec((group * _SUB, _LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -441,12 +444,19 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
             N_STREAM_SLOTS, rec_pad_for)
 
         rec_pad = rec_pad_for(cluster_size)
+        # Guard against layout drift: scene.py re-derives the record
+        # stride (circular-import constraint), so cross-check here.
+        n_clusters = cluster_bounds.reshape(-1).shape[0] // 6
+        assert cluster_records.shape[-1] == n_clusters * rec_pad, (
+            f"cluster_records size {cluster_records.shape[-1]} != "
+            f"{n_clusters} clusters * rec_pad {rec_pad}; scene.py and "
+            "intersect_pallas.rec_pad_for disagree on the record layout")
         kern = functools.partial(
             _frame_kernel_streamed_coded if coded else _frame_kernel_streamed,
             **static_kw)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
-            pl.BlockSpec(memory_space=pltpu.ANY),    # cluster records (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),       # cluster records (HBM)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
             vmem,                                    # normal table (9Rn,128)
         ] + env_specs

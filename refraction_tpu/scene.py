@@ -100,6 +100,9 @@ def build_scene(
     cluster_size: int = 32,
 ) -> tuple[Scene, SceneMeta]:
     """Morton-sort, pad, and precompute intersection inputs."""
+    assert cluster_size % SUB_TRIS == 0 and cluster_size >= SUB_TRIS, (
+        f"cluster_size={cluster_size} must be a multiple of "
+        f"SUB_TRIS={SUB_TRIS} (kernel gating/record layouts divide by it)")
     t_real = mesh.num_tris
     order = morton_order(mesh.positions)
     pos = mesh.positions[order]
