@@ -106,8 +106,18 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         rad_g[:] = jnp.zeros((_SUB, _LANE), f32)
         rad_b[:] = jnp.zeros((_SUB, _LANE), f32)
 
-        for s in range(spp):
-            _sample(gx0, gy0, s)
+        if spp == 1:
+            _sample(gx0, gy0, 0)
+        else:
+            # Rolled (not unrolled): a 4x statically-unrolled sample loop
+            # measured 104 ms device for spp=4 monkey vs 4 x 18.5 ms
+            # expected — program-size blowup hurts Mosaic's scheduling.
+            # Jitter offsets index SMEM by the traced sample id.
+            def sample_body(s, _):
+                _sample(gx0, gy0, s)
+                return 0
+
+            jax.lax.fori_loop(0, spp, sample_body, 0)
 
         rows = pl.ds(g * _SUB, _SUB)
         out_r[rows, :] = rad_r[:] * inv_spp

@@ -65,6 +65,7 @@ def main():
         scene_path=os.path.join(
             os.environ.get("RRT_ASSET_DIR", "/root/reference"), scene_name),
         max_refract_depth=bounces, backend="auto",
+        spp=int(os.environ.get("RRT_SPP", "1")),
         cluster_size=(int(os.environ["RRT_CLUSTER"])
                       if os.environ.get("RRT_CLUSTER") else None),
     )
