@@ -114,6 +114,34 @@ def _lut_decode(codes, lut_ref, rows):
     return chan(0), chan(8), chan(16)
 
 
+def _rgbe_decode(codes):
+    """Decode (rows,128) int32 Radiance RGBE words (r|g<<8|b<<16|e<<24)
+    as ``m * 2^(e-136)`` (io/hdr.py rgbe_to_float) with the scale
+    bit-assembled into the f32 exponent field. Exact for e > 9 and e == 0
+    (black) — the cases scene.build_scene's fit check accepts."""
+    e = jnp.bitwise_and(jnp.right_shift(codes, 24), jnp.int32(255))
+    sc_bits = jnp.left_shift(e - 9, 23)
+    scale = jnp.where(
+        e > 9,
+        jax.lax.bitcast_convert_type(sc_bits, jnp.float32),
+        jnp.float32(0.0))
+
+    def chan(sh):
+        m = jnp.bitwise_and(jnp.right_shift(codes, sh),
+                            jnp.int32(255)).astype(jnp.float32)
+        return m * scale
+
+    return chan(0), chan(8), chan(16)
+
+
+def _env_decode(codes, lut_ref, rows):
+    """Flavor dispatch (static, shape-derived): (2,128) lut = 256-entry
+    LUT codes (8-bit-PNG sources); (1,128) = RGBE bytes (.hdr sources)."""
+    if lut_ref.shape[0] == 2:
+        return _lut_decode(codes, lut_ref, rows)
+    return _rgbe_decode(codes)
+
+
 def _env_indices(x, y, z, height, width):
     """Equirect texel address (RayTracing.hlsl:133-134): per-lane flat
     row q = f//128 and lane r = f%128."""
@@ -170,7 +198,7 @@ def env_window_tile(x, y, z, alive, env_ref,
 
         codes = jax.lax.fori_loop(
             0, n_groups, cgroup, jnp.zeros((rows, _LANE), jnp.int32))
-        cr, cg, cb = _lut_decode(codes, lut_ref, rows)
+        cr, cg, cb = _env_decode(codes, lut_ref, rows)
         return (jnp.where(alive, cr, 0.0), jnp.where(alive, cg, 0.0),
                 jnp.where(alive, cb, 0.0))
 
@@ -290,7 +318,7 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
 
         codes = jax.lax.fori_loop(
             0, n_words, cword_body, jnp.zeros((rows, _LANE), jnp.int32))
-        cr, cg, cb = _lut_decode(codes, lut_ref, rows)
+        cr, cg, cb = _env_decode(codes, lut_ref, rows)
         acc_r[:] = acc_r[:] + wgt * cr
         acc_g[:] = acc_g[:] + wgt * cg
         acc_b[:] = acc_b[:] + wgt * cb

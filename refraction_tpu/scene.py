@@ -190,15 +190,37 @@ def build_scene(
     # bit-identical radiance. Maps with more values (HDR, procedural
     # float) keep the 3-plane f32 path (placeholder (1, 128) codes).
     uniq = np.unique(flat)
+    word = None
     if uniq.size <= 256:
         lut = np.zeros(256, np.float32)
         lut[:uniq.size] = uniq
         idx = np.searchsorted(uniq, flat)  # exact: values come from uniq
         word = (idx[:, 0] | (idx[:, 1] << 8) | (idx[:, 2] << 16)).astype(
             np.int32)
+        env_lut = lut.reshape(2, 128)
+    else:
+        # RGBE flavor: if the map is exactly representable as Radiance
+        # RGBE bytes (true for values decoded FROM an .hdr file — the
+        # roundtrip is lossless) with exponents the kernel's
+        # bit-assembled 2^(e-136) covers (e > 9, i.e. values >~1e-36),
+        # pack the original bytes; the kernel decodes arithmetically.
+        # env_lut (1, 128) marks this flavor (vs (2, 128) for LUT).
+        from refraction_tpu.io.hdr import float_to_rgbe, rgbe_to_float
+
+        with np.errstate(all="ignore"):
+            rgbe = float_to_rgbe(flat)
+            exact = np.array_equal(rgbe_to_float(rgbe), flat)
+        e = rgbe[:, 3].astype(np.int64)
+        if exact and bool(((e == 0) | (e > 9)).all()):
+            w64 = (rgbe[:, 0].astype(np.int64)
+                   | (rgbe[:, 1].astype(np.int64) << 8)
+                   | (rgbe[:, 2].astype(np.int64) << 16)
+                   | (e << 24))
+            word = w64.astype(np.uint32).view(np.int32)
+            env_lut = np.zeros((1, 128), np.float32)
+    if word is not None:
         env_codes = np.zeros((rows, 128), np.int32)
         env_codes.reshape(-1)[:n_tex] = word
-        env_lut = lut.reshape(2, 128)
     else:
         env_codes = np.zeros((1, 128), np.int32)
         env_lut = np.zeros((2, 128), np.float32)

@@ -146,3 +146,24 @@ def test_fused_coded_envmap_matches_xla():
     fused = render_frame_fused(
         scene, orbit_camera(0.3, cfg), cfg, interpret=True)
     assert _rmse(ref, fused) < 1e-5
+
+
+def test_fused_rgbe_envmap_matches_xla():
+    """RGBE-coded envmap path (.hdr sources: values exactly representable
+    as Radiance RGBE bytes): in-kernel arithmetic decode must match the
+    3-plane f32 path bit-for-bit (scene.py RGBE fit; envmap_pallas
+    _rgbe_decode)."""
+    from refraction_tpu.io.hdr import float_to_rgbe, rgbe_to_float
+
+    env = rgbe_to_float(float_to_rgbe(make_gradient_envmap(64, 128)))
+    assert np.unique(env).size > 256  # too many values for the LUT flavor
+    scene, _ = build_scene(make_icosphere(2), env.astype(np.float32),
+                           cluster_size=32)
+    assert scene.env_codes.shape[0] > 1    # coded layout selected
+    assert scene.env_lut.shape[0] == 1     # ... the RGBE flavor
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       backend="xla")
+    ref = _xla_image(scene, cfg)
+    fused = render_frame_fused(
+        scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
