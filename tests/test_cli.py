@@ -106,3 +106,31 @@ def test_viewer_server_roundtrip():
         assert st["frame"] == 7
     finally:
         srv.close()
+
+
+def test_cli_hdr_envmap(tmp_path):
+    """End-to-end .hdr envmap: write a Radiance file, render through the
+    CLI, and confirm the scene picked the RGBE-coded env layout (the
+    reference's own load path is ../envMap.hdr, RefractionDemo.cpp:527)."""
+    from refraction_tpu.config import RenderConfig
+    from refraction_tpu.io.hdr import float_to_rgbe, rgbe_to_float, write_hdr
+    from refraction_tpu.scene import load_scene
+
+    rng = np.random.default_rng(7)
+    env = rng.uniform(0.05, 3.0, size=(32, 64, 3)).astype(np.float32)
+    env = rgbe_to_float(float_to_rgbe(env))
+    hdr = str(tmp_path / "env.hdr")
+    write_hdr(hdr, env)
+
+    scene, _ = load_scene(RenderConfig(
+        scene_path=os.path.join(REF, "cube.obj"), envmap_path=hdr))
+    assert scene.env_codes.shape[0] > 1   # coded env layout selected
+    assert scene.env_lut.shape[0] == 1    # ... the RGBE flavor
+
+    out = str(tmp_path / "hdr.png")
+    rc = main(["--scene", os.path.join(REF, "cube.obj"), "--envmap", hdr,
+               "--width", "64", "--height", "32", "--backend", "xla",
+               "--frames", "1", "--out", out])
+    assert rc == 0
+    img = load_png(out)
+    assert img.shape == (32, 64, 3) and img.max() > 0
