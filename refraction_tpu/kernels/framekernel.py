@@ -377,6 +377,11 @@ def _frame_kernel_streamed_coded(scalars_sm, records, cluster_sm, norm_vmem,
 
 
 def _pick_group(n_tiles: int) -> int:
+    forced = os.environ.get("RRT_FRAME_GROUP")  # sweep knob
+    if forced:
+        g = int(forced)
+        assert n_tiles % g == 0, (n_tiles, g)
+        return g
     for g in (16, 8, 4, 2, 1):
         if n_tiles % g == 0:
             return g
