@@ -18,6 +18,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import itertools
 import os
 
 import numpy as np
@@ -186,19 +187,27 @@ def main(argv=None) -> int:
         log.info("profiler trace written to %s", args.profile)
 
     host_img = None
-    for i in range(args.frames):
-        stats.start()
-        img = renderer(scene, orbit_camera(angle, cfg))
-        if pending is not None:
-            host_img = drain(pending)     # overlap: drain N-1 while N runs
-        pending = (img, i)
-        img.block_until_ready()
-        stats.stop()
-        if i % 10 == 0 or i == args.frames - 1:
-            log.info("%s", stats.line())
-        angle += cfg.orbit_speed        # RefractionDemo.cpp:567
+    # --frames 0 = endless orbit (the reference's WinMain message pump,
+    # WinMain.cpp:46-59) — used with --serve for live viewing; stops on
+    # SIGINT/SIGTERM.
+    frame_iter = range(args.frames) if args.frames else itertools.count()
+    try:
+        for i in frame_iter:
+            stats.start()
+            img = renderer(scene, orbit_camera(angle, cfg))
+            if pending is not None:
+                host_img = drain(pending)  # overlap: drain N-1 while N runs
+            pending = (img, i)
+            img.block_until_ready()
+            stats.stop()
+            if i % 10 == 0 or i == args.frames - 1:
+                log.info("%s", stats.line())
+            angle += cfg.orbit_speed    # RefractionDemo.cpp:567
+    except KeyboardInterrupt:
+        log.info("interrupted after %d frames", stats.frames)
 
-    host_img = drain(pending)
+    if pending is not None:
+        host_img = drain(pending)
 
     final = acc.image if acc is not None else host_img
     if acc is not None and args.frames > 1:
