@@ -69,6 +69,17 @@ def build_config(args) -> RenderConfig:
 
 
 def main(argv=None) -> int:
+    # Honor an explicit JAX_PLATFORMS from the caller. Some site setups
+    # register an out-of-tree TPU plugin that tramples the env var during
+    # backend init (tests/conftest.py pins it back the same way for the
+    # in-process suite); re-assert it here so `JAX_PLATFORMS=cpu python -m
+    # refraction_tpu.run ...` really runs on host CPU.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax as _jax_cfg
+
+        _jax_cfg.config.update("jax_platforms", plat)
+
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--scene", help="OBJ path (or name under the asset dir)")

@@ -134,3 +134,42 @@ def test_cli_hdr_envmap(tmp_path):
     assert rc == 0
     img = load_png(out)
     assert img.shape == (32, 64, 3) and img.max() > 0
+
+
+def test_cli_endless_serve(tmp_path):
+    """--frames 0 --serve N: endless orbit streaming (regression: the
+    documented live-viewer command crashed with drain(None))."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    port = 18431
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.Popen(
+        [sys.executable, "-m", "refraction_tpu.run",
+         "--scene", os.path.join(REF, "cube.obj"), "--width", "64",
+         "--height", "32", "--backend", "xla", "--frames", "0",
+         "--serve", str(port), "--out", str(tmp_path / "x.png")],
+        env=env, cwd="/root/repo",
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 120
+        stats = {}
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/stats", timeout=2) as r:
+                    stats = json.loads(r.read() or b"{}")
+                if stats.get("frame", 0) >= 3:
+                    break
+            except OSError:
+                pass
+            time.sleep(1.0)
+        assert stats.get("frame", 0) >= 3, stats
+    finally:
+        p.send_signal(signal.SIGINT)
+        rc = p.wait(timeout=30)
+    assert rc == 0
