@@ -94,13 +94,16 @@ def make_renderer(
         # Pallas call (kernels/framekernel.py) — the TPU analogue of the
         # reference's single DispatchRays (RefractionDemo.cpp:589-594).
         from refraction_tpu.kernels.framekernel import (
-            build_scalars, fits_smem, frame_call)
+            build_scalars, fits_smem, frame_call, front_to_back_scene)
 
         h_pad_f = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
         w_pad_f = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
 
         @jax.jit
         def _render_fused(scene: Scene, scalars: jnp.ndarray):
+            # Per-frame front-to-back cluster order (tiny argsort + block
+            # gathers, fused into the frame program; see framekernel.py).
+            scene = front_to_back_scene(scene, scalars[9:12])
             if fits_smem(scene):  # shape-derived: resolved at trace time
                 geom = (scene.tri_packed, scene.tri_norm_vmem,
                         scene.cluster_bounds, scene.sub_bounds)

@@ -124,6 +124,26 @@ def build_scene(
         pos = np.concatenate([pos, pad_pos])
         norm = np.concatenate([norm, pad_norm])
 
+    # Optional front-to-back cluster ordering (RRT_ORDER_FROM="x,y,z"):
+    # permute whole cluster blocks by AABB-center distance from a point
+    # (the camera). The traversal visits clusters in ascending table
+    # order with improvability gating (intersect_pallas.py:481-495), so
+    # a near-to-far order lets an early hit prune far clusters — the
+    # moral of DXR's ordered BVH traversal (RayTracing.hlsl:60) — at
+    # ZERO in-kernel cost (an in-kernel ordered scan measured 4x slower;
+    # TODO.md "tried and reverted"). Every downstream table and the
+    # oracle derive from this array order, so parity is exact.
+    order_from = os.environ.get("RRT_ORDER_FROM")
+    if order_from:
+        pt = np.asarray([float(v) for v in order_from.split(",")],
+                        np.float32)
+        c_lo, c_hi = build_clusters(pos, cluster_size)
+        centers = 0.5 * (c_lo + c_hi)
+        perm = np.argsort(((centers - pt) ** 2).sum(axis=1), kind="stable")
+        blocks = perm[:, None] * cluster_size + np.arange(cluster_size)
+        pos = pos[blocks.reshape(-1)]
+        norm = norm[blocks.reshape(-1)]
+
     lo, hi = build_clusters(pos, cluster_size)
     sub_lo, sub_hi = build_clusters(pos, SUB_TRIS)
     tri_a = np.ascontiguousarray(pos[:, 0])

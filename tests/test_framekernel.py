@@ -167,3 +167,34 @@ def test_fused_rgbe_envmap_matches_xla():
     fused = render_frame_fused(
         scene, orbit_camera(0.3, cfg), cfg, interpret=True)
     assert _rmse(ref, fused) < 1e-5
+
+
+def test_front_to_back_order(sphere_scene, monkeypatch):
+    """Per-frame front-to-back cluster ordering (front_to_back_scene):
+    the permuted tables must (a) actually sort clusters by camera
+    distance, (b) stay internally consistent (winner ids -> normal
+    table), so the rendered image is identical to the unordered scan up
+    to coincident-hit tie-breaks (none on this fixture)."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       backend="xla")
+    frame = orbit_camera(0.7, cfg)
+
+    ordered = fk.front_to_back_scene(sphere_scene, frame.origin)
+    cb = np.asarray(ordered.cluster_bounds)
+    centers = 0.5 * (cb[:, :3] + cb[:, 3:])
+    d2 = ((centers - np.asarray(frame.origin)) ** 2).sum(axis=1)
+    assert (np.diff(d2) >= -1e-6).all(), "clusters not front-to-back"
+    # Block-permutation consistency: every permuted triangle row exists
+    # in the original table (same multiset).
+    orig = np.asarray(sphere_scene.tri_packed)
+    perm = np.asarray(ordered.tri_packed)
+    assert np.array_equal(
+        np.sort(orig.reshape(-1, 9), axis=0), np.sort(perm.reshape(-1, 9),
+                                                      axis=0))
+
+    on = render_frame_fused(sphere_scene, frame, cfg, interpret=True)
+    monkeypatch.setattr(fk, "_F2B", False)
+    off = render_frame_fused(sphere_scene, frame, cfg, interpret=True)
+    assert _rmse(on, off) < 1e-7
