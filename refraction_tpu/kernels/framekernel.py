@@ -74,8 +74,13 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                   *, cluster_size: int, env_h: int, env_w: int, env_rows: int,
                   width: int, height: int, tiles_x: int, group: int,
                   spp: int, max_refract: int, max_reflect: int,
-                  n_slots: int, stream=None):
-    num_clusters = cluster_sm.shape[0] // 6
+                  n_slots: int, stream=None, n_supers: int = 0):
+    # Under the hier (third bound level) layout, cluster_sm holds
+    # [supers | padded clusters]; derive the true count from the shape.
+    if n_supers > 1:
+        num_clusters = (cluster_sm.shape[0] // 6 - n_supers)
+    else:
+        num_clusters = cluster_sm.shape[0] // 6
     i = pl.program_id(0)
     f32 = jnp.float32
     inv_spp = f32(1.0 / spp)
@@ -249,7 +254,8 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                       tri_sm, None, cluster_sm, subs_sm,
                       o_x, o_y, o_z, d_x, d_y, d_z, cu,
                       best_t, best_i, best_nx, best_ny, best_nz,
-                      any_hit=is_last, stream=stream, norm_vmem=norm_vmem)
+                      any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
+                      num_supers=n_supers)
 
         t = best_t[:]
         hit = (t < tmax) & alive
@@ -426,6 +432,37 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
 
     if not streamed:
         cluster_size = tri_packed.shape[0] // cluster_bounds.shape[0]
+    n_real_clusters = cluster_bounds.shape[0]
+
+    # Coarse third bound level (supers of 32 clusters) for many-cluster
+    # scenes: cuts the flat scan's O(C/word) per-tile gate cost to
+    # O(S/word + visited supers). The super AABBs are computed here per
+    # call (they must follow the per-frame front-to-back permutation of
+    # cluster_bounds). Pad clusters to whole supers with degenerate
+    # far-point boxes (lo == hi == +BIG): the slab test is lo/hi-
+    # SYMMETRIC, so an "inverted" box would gate ON — a far point is
+    # rejected by every ray instead. The super min/max reduction uses
+    # separate ignore pads (+BIG lo / -BIG hi).
+    n_supers = 0
+    cb_flat = cluster_bounds.reshape(-1)
+    if n_real_clusters > _SUPER_MIN_C > 0:
+        from refraction_tpu.kernels.intersect_pallas import SUPER_CLUSTERS
+
+        n_supers = -(-n_real_clusters // SUPER_CLUSTERS)
+        pad = n_supers * SUPER_CLUSTERS - n_real_clusters
+        big = jnp.float32(3.0e38)
+        ign = jnp.concatenate(
+            [jnp.full((pad, 3), big, jnp.float32),
+             jnp.full((pad, 3), -big, jnp.float32)], axis=1)
+        blk = jnp.concatenate([cluster_bounds, ign]).reshape(
+            n_supers, SUPER_CLUSTERS, 6)
+        supers = jnp.concatenate(
+            [jnp.min(blk[:, :, :3], axis=1), jnp.max(blk[:, :, 3:], axis=1)],
+            axis=1)
+        cb_pad = jnp.concatenate(
+            [cluster_bounds, jnp.full((pad, 6), big, jnp.float32)])
+        cb_flat = jnp.concatenate([supers.reshape(-1), cb_pad.reshape(-1)])
+
     env_rows = env_flat.shape[0] // 3
     n_slots = 2 ** max(min(max_reflect, max_refract), 0)
     assert n_slots <= 32, (
@@ -440,7 +477,7 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         cluster_size=cluster_size, env_h=env_h, env_w=env_w,
         env_rows=env_rows, width=width, height=height, tiles_x=tiles_x,
         group=group, spp=spp, max_refract=max_refract,
-        max_reflect=max_reflect, n_slots=n_slots,
+        max_reflect=max_reflect, n_slots=n_slots, n_supers=n_supers,
     )
     pool = lambda dt: pltpu.VMEM((n_slots * _SUB, _LANE), dt)  # noqa: E731
     scratch = [
@@ -474,10 +511,9 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         rec_pad = rec_pad_for(cluster_size)
         # Guard against layout drift: scene.py re-derives the record
         # stride (circular-import constraint), so cross-check here.
-        n_clusters = cluster_bounds.reshape(-1).shape[0] // 6
-        assert cluster_records.shape[-1] == n_clusters * rec_pad, (
+        assert cluster_records.shape[-1] == n_real_clusters * rec_pad, (
             f"cluster_records size {cluster_records.shape[-1]} != "
-            f"{n_clusters} clusters * rec_pad {rec_pad}; scene.py and "
+            f"{n_real_clusters} clusters * rec_pad {rec_pad}; scene.py and "
             "intersect_pallas.rec_pad_for disagree on the record layout")
         kern = functools.partial(
             _frame_kernel_streamed_coded if coded else _frame_kernel_streamed,
@@ -488,7 +524,7 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
             vmem,                                    # normal table (9Rn,128)
         ] + env_specs
-        operands = (scalars, cluster_records, cluster_bounds.reshape(-1),
+        operands = (scalars, cluster_records, cb_flat,
                     tri_norm_vmem) + env_ops
         scratch += [
             pltpu.SMEM((N_STREAM_SLOTS * rec_pad,), jnp.float32),
@@ -505,7 +541,7 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # subclusters flat
         ] + env_specs
         operands = (scalars, tri_packed.reshape(-1),
-                    tri_norm_vmem, cluster_bounds.reshape(-1),
+                    tri_norm_vmem, cb_flat,
                     sub_bounds.reshape(-1)) + env_ops
     return pl.pallas_call(
         kern,
@@ -540,6 +576,11 @@ def build_scalars(frame, cfg, offsets) -> jnp.ndarray:
 
 # Front-to-back cluster ordering (RRT_F2B=0 disables, for A/B timing).
 _F2B = os.environ.get("RRT_F2B", "1") != "0"
+
+# Coarse third bound level kicks in past this many clusters (RRT_SUPER
+# overrides; 0 disables). Below it the flat scan's word count is already
+# small and the extra super reduction would only add stalls.
+_SUPER_MIN_C = int(os.environ.get("RRT_SUPER", "64"))
 
 
 def front_to_back_scene(scene, origin):

@@ -144,11 +144,19 @@ def iter_set_bits(word, visit):
     jax.lax.while_loop(lambda w: w != 0, body, word)
 
 
+# Clusters per coarse third-level AABB (hier mode). RRT_SUPER_SIZE
+# sweeps it; must stay a multiple of 16 so a super's 16-cluster spans
+# keep the streamed DMA ring slot identity (ci % 16 == word bit).
+SUPER_CLUSTERS = int(os.environ.get("RRT_SUPER_SIZE", "32"))
+assert SUPER_CLUSTERS % 16 == 0 and SUPER_CLUSTERS > 0, SUPER_CLUSTERS
+
+
 def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   tri_sm, norm_sm, cluster_sm, subs_sm,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
                   best_t, best_i, best_nx, best_ny, best_nz,
-                  any_hit: bool = False, stream=None, norm_vmem=None):
+                  any_hit: bool = False, stream=None, norm_vmem=None,
+                  num_supers: int = 0):
     """Closest-hit traversal of one (8,128) ray tile; results land in the
     best_* scratch refs. Shared by the standalone closest-hit kernel and
     the fused wavefront megakernels.
@@ -184,7 +192,19 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     so transfers overlap the preceding clusters' triangle work. This is
     the size-agnostic path (DXR's AS build+traverse never cared about
     scene size — RefractionDemo.cpp:272-361): SMEM holds O(num_clusters)
-    bounds + a constant ring, whatever the triangle count."""
+    bounds + a constant ring, whatever the triangle count.
+
+    With ``num_supers > 1`` (the coarse third bound level, for scenes
+    with many clusters) ``cluster_sm`` holds
+    ``[super AABBs (num_supers*6) | cluster AABBs (num_supers*32*6)]``
+    — clusters padded to whole supers with degenerate far-point boxes
+    (lo == hi == +BIG; the slab test is lo/hi-symmetric, so an inverted
+    box would gate ON) that can never gate on. The cluster scan then
+    only visits the 32-cluster
+    span of supers some live lane overlaps-and-can-improve, cutting the
+    per-tile gate cost from O(C/word) to O(S/word + visited supers).
+    Visit order within the scan is unchanged (ascending), so
+    tie-breaking is identical to the flat scan."""
     alive = cu != 0.0
     defer_norms = norm_vmem is not None
 
@@ -490,9 +510,24 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # per-visit while_loop + argmin serialized the VPU — and a per-cluster
     # roll-tree bound check cost ~7 ms/frame at 1080p: every vector->
     # scalar reduction + branch stalls the in-order pipeline ~1 us.)
-    gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_clusters,
-               visit_cluster, pre_visit=pre,
-               bits_per_word=_GROUP_BITS if stream is not None else 32)
+    cluster_bits = _GROUP_BITS if stream is not None else 32
+    if num_supers > 1:
+        # Coarse third level: supers of SUPER_CLUSTERS clusters, gated
+        # by the same packed-bitmask machinery; a visited super scans
+        # its (16-aligned, so streamed DMA ring slots ci % 16 still
+        # match the word-relative issue slots) 32-cluster span.
+        def visit_super(si):
+            gated_loop(cluster_sm, jnp.int32(num_supers * 6),
+                       si * SUPER_CLUSTERS, SUPER_CLUSTERS,
+                       visit_cluster, pre_visit=pre,
+                       bits_per_word=cluster_bits)
+
+        gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_supers,
+                   visit_super, bits_per_word=32)
+    else:
+        gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_clusters,
+                   visit_cluster, pre_visit=pre,
+                   bits_per_word=cluster_bits)
 
     # ---- Deferred winner-normal resolve: ONE windowed gather pass over
     # the tile's winner triangle ids (Morton-coherent, so the id window is

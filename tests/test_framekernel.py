@@ -198,3 +198,23 @@ def test_front_to_back_order(sphere_scene, monkeypatch):
     monkeypatch.setattr(fk, "_F2B", False)
     off = render_frame_fused(sphere_scene, frame, cfg, interpret=True)
     assert _rmse(on, off) < 1e-7
+
+
+def test_third_level_supers_match_flat():
+    """Coarse third bound level (supers of 32 clusters, auto past 64
+    clusters): a 160-cluster scene through the hier scan must match the
+    XLA reference, and streamed must equal resident exactly."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    scene, _ = build_scene(make_icosphere(3, radius=1.2),
+                           make_gradient_envmap(32, 64), cluster_size=8)
+    assert scene.cluster_bounds.shape[0] > fk._SUPER_MIN_C
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       backend="xla")
+    frame = orbit_camera(0.3, cfg)
+    ref = _xla_image(scene, cfg)
+    fused = render_frame_fused(scene, frame, cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
+    streamed = render_frame_fused(scene, frame, cfg, interpret=True,
+                                  streamed=True)
+    assert np.array_equal(np.asarray(fused), np.asarray(streamed))
