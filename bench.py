@@ -229,6 +229,40 @@ def main():
 
     dev_ms = device_kernel_ms(render, scene, cfg)
 
+    # Reference-demo config (shell.obj at 1024x768, 5 bounces — exactly
+    # what the reference renders: RefractionDemo.cpp:537,589-590, bounce
+    # caps RayTracing.hlsl:82,110). The reference Presents with vsync
+    # interval 1 and stalls every frame (RefractionDemo.cpp:609-611), so
+    # its ceiling is the 60 Hz refresh; our device time at the same
+    # config is the apples-to-apples "beat the reference on its own
+    # benchmark" number. Guarded: never breaks the headline line.
+    ref_demo = {}
+    try:
+        cfg_ref = RenderConfig(
+            width=1024, height=768,
+            scene_path=os.path.join(
+                os.environ.get("RRT_ASSET_DIR", "/root/reference"),
+                "shell.obj"),
+            backend="auto", cluster_size=None)
+        scene_ref, _ = load_scene(cfg_ref)
+        scene_ref = scene_to_device(scene_ref)
+        render_ref = make_renderer(cfg_ref)
+        img_r = render_ref(scene_ref, orbit_camera(0.01, cfg_ref))
+        float(jnp.sum(img_r[0, 0]))
+        ref_ms = device_kernel_ms(render_ref, scene_ref, cfg_ref)
+        if ref_ms:
+            ref_demo = {
+                "ref_demo_device_ms": round(ref_ms, 1),
+                "ref_demo_fps_device": round(1e3 / ref_ms, 1),
+                "ref_demo_note": "shell.obj 1024x768 5-bounce, the "
+                                 "reference's exact demo config; the "
+                                 "reference itself is vsync-locked to "
+                                 "<=60 FPS (Present(1,0) + full stall, "
+                                 "RefractionDemo.cpp:609-611)",
+            }
+    except Exception as e:  # pragma: no cover - diagnostic only
+        ref_demo = {"ref_demo_error": repr(e)}
+
     # spp=4 variant (VERDICT round-1 item 5 / BASELINE config 5 regime):
     # all four samples trace inside ONE kernel dispatch per frame, so the
     # fixed per-frame overhead (host dispatch, relay RTT, raygen setup)
@@ -280,6 +314,7 @@ def main():
         "backend": backend.name,
         "device": str(jax.devices()[0]),
         "compile_s": round(compile_s, 1),
+        **ref_demo,
     }))
 
 
