@@ -13,6 +13,12 @@ RefractionDemo.cpp:155); scaling is a from-scratch TPU design:
   shard and the per-device (t, idx) candidates are combined with an
   all_gather + min/tie-break reduction — the renderer's analogue of
   tensor parallelism, and the pattern the multichip dry-run exercises.
+- **Sample parallelism** (`make_sample_sharded_renderer`): supersampling
+  samples sharded over a second mesh axis on a 2-D ``(samples, pixels)``
+  mesh; each device traces its jitter subset of its pixel shard and the
+  partial radiance sums ``psum``-reduce over the samples axis. The
+  renderer's analogue of ML data parallelism over the batch (SURVEY.md
+  §2.4: "data parallelism over pixels/samples").
 
 Both run unchanged on a virtual CPU mesh
 (``--xla_force_host_platform_device_count``) and a real TPU pod slice.
@@ -112,6 +118,106 @@ def make_sharded_renderer(
             d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, ray_spec))
             acc = acc + _trace_shard(scene, o, d)
         return (acc[:n] / cfg.spp).reshape(cfg.height, cfg.width, 3)
+
+    def render(scene: Scene, frame: CameraFrame):
+        return _render(
+            scene,
+            jnp.asarray(frame.proj_inv, jnp.float32),
+            jnp.asarray(frame.origin, jnp.float32),
+        )
+
+    return render
+
+
+def make_mesh2d(n_devices: int | None = None, sample_devs: int = 2) -> Mesh:
+    """2-D ``(samples, pixels)`` mesh: ``sample_devs`` must divide the
+    device count; the pixel axis gets the rest."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if len(devs) % sample_devs:
+        raise ValueError(
+            f"{len(devs)} devices do not split into samples={sample_devs}")
+    grid = np.asarray(devs).reshape(sample_devs, -1)
+    return Mesh(grid, ("samples", "pixels"))
+
+
+def make_sample_sharded_renderer(
+    cfg: RenderConfig,
+    mesh: Mesh,
+    intersect_fn: Callable | None = None,
+):
+    """Build a jitted (scene, frame) -> (H, W, 3) renderer over a 2-D
+    ``(samples, pixels)`` mesh (``make_mesh2d``).
+
+    The spp jittered sample set is sharded over the ``samples`` axis and
+    the flattened image over ``pixels``; each device traces
+    ``spp / samples_devs`` full wavefronts on its pixel shard and the
+    per-device partial sums reduce with ONE ``psum`` over ``samples``
+    (ICI collective), after which the mean over spp is taken. Equals the
+    single-device sequential spp accumulation up to float-add
+    reassociation (the psum tree reorders the sum).
+    """
+    env_fn = None
+    mega = False
+    if intersect_fn is None:
+        backend = get_backend(cfg.backend, cfg.cluster_size)
+        intersect_fn = backend.intersect
+        env_fn = backend.env_contribution
+        mega = backend.name == "pallas"
+    from refraction_tpu.render import sample_offsets
+
+    sdev = mesh.shape["samples"]
+    pdev = mesh.shape["pixels"]
+    if cfg.spp % sdev:
+        raise ValueError(
+            f"spp={cfg.spp} must be a multiple of the samples axis ({sdev})")
+    offsets = sample_offsets(cfg.spp)
+    n = cfg.height * cfg.width
+    n_pad = _round_up(n, pdev * (1024 if mega else 8))
+    ray_spec = P("samples", "pixels", None)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), ray_spec, ray_spec),
+        out_specs=P("pixels", None),
+        check_vma=False,  # same rationale as make_sharded_renderer
+    )
+    def _trace(scene, o, d):
+        acc = jnp.zeros((o.shape[1], 3), jnp.float32)
+        for k in range(o.shape[0]):  # spp_local, static
+            if mega:
+                from refraction_tpu.integrator import render_pixels_mega
+
+                acc = acc + render_pixels_mega(scene, o[k], d[k], cfg)
+            else:
+                acc = acc + render_pixels(
+                    scene, o[k], d[k], cfg, intersect_fn, env_fn)
+        return jax.lax.psum(acc, "samples")
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _render(scene: Scene, proj_inv, origin):
+        frame = CameraFrame(origin=origin, proj_inv=proj_inv)
+        pad = n_pad - n
+        o_all, d_all = [], []
+        for s in range(cfg.spp):
+            jitter = jnp.broadcast_to(jnp.asarray(offsets[s]), (n, 2))
+            o, d = generate_rays(
+                frame, cfg.width, cfg.height,
+                jitter=None if cfg.spp == 1 else jitter, xp=jnp,
+            )
+            if pad:
+                o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+                d = jnp.concatenate([d, jnp.broadcast_to(
+                    jnp.asarray([0.0, 1.0, 0.0], d.dtype), (pad, 3))])
+            o_all.append(o)
+            d_all.append(d)
+        sh = NamedSharding(mesh, ray_spec)
+        o_all = jax.lax.with_sharding_constraint(jnp.stack(o_all), sh)
+        d_all = jax.lax.with_sharding_constraint(jnp.stack(d_all), sh)
+        img = _trace(scene, o_all, d_all)
+        return (img[:n] / cfg.spp).reshape(cfg.height, cfg.width, 3)
 
     def render(scene: Scene, frame: CameraFrame):
         return _render(

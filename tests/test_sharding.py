@@ -10,6 +10,8 @@ import pytest
 from conftest import rmse
 from refraction_tpu.parallel.sharding import (
     make_mesh,
+    make_mesh2d,
+    make_sample_sharded_renderer,
     make_sharded_renderer,
     make_trisharded_intersect,
 )
@@ -49,6 +51,28 @@ def test_image_sharded_supersampling(cube_scene, small_cfg):
         make_sharded_renderer(cfg, make_mesh(8))(scene, frame)
     )
     assert rmse(single, sharded) < 1e-7
+
+
+@pytest.mark.parametrize("sample_devs", [2, 4])
+def test_sample_sharded_matches_single(cube_scene, small_cfg, sample_devs):
+    """2-D (samples, pixels) mesh: spp sharded over one axis, the image
+    over the other; psum over samples must equal the sequential spp
+    accumulation (up to float-add reassociation)."""
+    scene, _ = cube_scene
+    cfg = small_cfg.replace(width=32, height=16, backend="xla", spp=4)
+    frame = orbit_camera(0.3, cfg)
+    single = np.asarray(make_renderer(cfg)(scene, frame))
+    mesh = make_mesh2d(8, sample_devs=sample_devs)
+    assert dict(mesh.shape) == {
+        "samples": sample_devs, "pixels": 8 // sample_devs}
+    out = np.asarray(make_sample_sharded_renderer(cfg, mesh)(scene, frame))
+    assert rmse(single, out) < 1e-6
+
+
+def test_sample_sharded_rejects_uneven_spp(cube_scene, small_cfg):
+    cfg = small_cfg.replace(spp=3)
+    with pytest.raises(ValueError, match="spp=3"):
+        make_sample_sharded_renderer(cfg, make_mesh2d(8, sample_devs=2))
 
 
 def test_trisharded_intersect_matches(sphere_scene):
