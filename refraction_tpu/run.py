@@ -27,7 +27,7 @@ from refraction_tpu.camera import orbit_camera
 from refraction_tpu.config import DEFAULT_ASSET_DIR, RenderConfig, baseline_config
 from refraction_tpu.io.png import write_png
 from refraction_tpu.render import Accumulator, make_renderer
-from refraction_tpu.scene import load_scene, scene_to_device
+from refraction_tpu.scene import load_instanced, load_scene, scene_to_device
 from refraction_tpu.utils.stats import FrameStats, log, setup_logging
 
 
@@ -111,6 +111,10 @@ def main(argv=None) -> int:
     p.add_argument("--raw", action="store_true",
                    help="also save linear radiance .npy (per frame when"
                         " --frames>1 without --accumulate)")
+    p.add_argument("--instances", metavar="SPEC.json",
+                   help="render N placed copies of meshes (TLAS-with-N-"
+                        "instances): JSON list of {obj, translate, scale,"
+                        " rotate_y_deg, mask} or {obj, transform: 3x4}")
     p.add_argument("--serve", type=int, metavar="PORT",
                    help="serve the orbit live over HTTP (the reference's"
                         " window, headless): open http://HOST:PORT/ in a"
@@ -136,7 +140,10 @@ def main(argv=None) -> int:
         cfg = cfg.replace(ior=ior_for_scene(cfg.scene_path, cfg.ior))
         log.info("IOR from MTL: %.4g", cfg.ior)
 
-    scene, meta = load_scene(cfg)
+    if args.instances:
+        scene, meta = load_instanced(args.instances, cfg)
+    else:
+        scene, meta = load_scene(cfg)
     log.info("tris=%d (padded %d), clusters=%d, envmap=%s",
              meta.num_real_tris, meta.num_padded_tris,
              scene.num_clusters, scene.envmap.shape)

@@ -296,6 +296,134 @@ def load_scene(cfg: RenderConfig) -> tuple[Scene, SceneMeta]:
     return scene, meta
 
 
+@dataclasses.dataclass(frozen=True)
+class Instance:
+    """One TLAS instance — the D3D12_RAYTRACING_INSTANCE_DESC equivalent
+    (RefractionDemo.cpp:325-335: 3x4 row-major object->world ``Transform``,
+    ``InstanceMask``). The reference builds exactly one instance with the
+    identity transform and mask 1; this framework generalizes to N
+    instances by *baking* transforms into world space at scene build —
+    the TPU-native answer to a TLAS: geometry is a replicated dense
+    array, so an instance edit is one rebuild + host->device transfer,
+    just as the reference re-records its TLAS build.
+
+    ``mask`` honors DXR visibility semantics under the reference's ray
+    mask: every TraceRay passes 0xff (RayTracing.hlsl:60,106,121), so an
+    instance is visible iff ``mask & 0xff != 0`` — mask-0 instances are
+    dropped at build. Per-ray masks would need a per-cluster mask word
+    in the kernels; no reference behavior requires it.
+    """
+
+    mesh: MeshData
+    transform: np.ndarray | None = None  # (3, 4) row-major; None = identity
+    mask: int = 1
+
+
+def _transform_mesh(mesh: MeshData, transform: np.ndarray) -> MeshData:
+    """Bake a 3x4 object->world transform: positions affinely, shading
+    normals by the inverse-transpose of the linear part (correct under
+    non-uniform scale; the shader re-normalizes after barycentric lerp,
+    RayTracing.hlsl:83-86, so lengths don't matter)."""
+    m = np.asarray(transform, np.float32)
+    if m.shape != (3, 4):
+        raise ValueError(f"instance transform must be (3, 4), got {m.shape}")
+    lin, t = m[:, :3], m[:, 3]
+    if abs(float(np.linalg.det(lin))) < 1e-12:
+        raise ValueError("instance transform is singular")
+    nrm_m = np.linalg.inv(lin).T.astype(np.float32)
+    return MeshData(
+        positions=(mesh.positions @ lin.T + t).astype(np.float32),
+        normals=(mesh.normals @ nrm_m.T).astype(np.float32),
+        uvs=mesh.uvs,
+    )
+
+
+def merge_meshes(meshes: list[MeshData]) -> MeshData:
+    if not meshes:
+        raise ValueError("no meshes to merge")
+    return MeshData(
+        positions=np.concatenate([m.positions for m in meshes]),
+        normals=np.concatenate([m.normals for m in meshes]),
+        uvs=np.concatenate([m.uvs for m in meshes]),
+    )
+
+
+def build_instanced_scene(
+    instances: list[Instance],
+    envmap: np.ndarray,
+    cluster_size: int | None = None,
+) -> tuple[Scene, SceneMeta]:
+    """Build one scene from N instances (the TLAS-with-N-instances
+    capability). Baked world-space triangles from all visible instances
+    are merged and Morton-clustered together, so traversal is exactly the
+    single-mesh path — instancing costs nothing per ray."""
+    visible = [i for i in instances if i.mask & 0xFF]
+    if not visible:
+        raise ValueError("all instances are masked out (mask & 0xff == 0)")
+    baked = [
+        i.mesh if i.transform is None else _transform_mesh(i.mesh, i.transform)
+        for i in visible
+    ]
+    merged = merge_meshes(baked)
+    cs = cluster_size or auto_cluster_size(merged.num_tris)
+    return build_scene(merged, envmap, cs)
+
+
+def instance_transform(translate=(0.0, 0.0, 0.0), scale=1.0,
+                       rotate_y_deg=0.0) -> np.ndarray:
+    """Convenience 3x4 composer (scale, then rotate about +Y, then
+    translate) for CLI/instance specs."""
+    s = np.asarray(scale, np.float32) * np.ones(3, np.float32)
+    c, sn = np.cos(np.radians(rotate_y_deg)), np.sin(np.radians(rotate_y_deg))
+    rot = np.array([[c, 0.0, sn], [0.0, 1.0, 0.0], [-sn, 0.0, c]],
+                   np.float32)
+    m = np.zeros((3, 4), np.float32)
+    m[:, :3] = rot * s[None, :]
+    m[:, 3] = np.asarray(translate, np.float32)
+    return m
+
+
+def load_instanced(spec_path: str, cfg: RenderConfig) -> tuple[Scene, SceneMeta]:
+    """Load an instanced scene from a JSON spec (the CLI ``--instances``
+    format): a list (or {"instances": [...]}) of entries
+    ``{"obj": path, "translate": [x,y,z], "scale": s | [sx,sy,sz],
+    "rotate_y_deg": deg, "mask": m}`` — or an explicit
+    ``"transform": 3x4`` row-major matrix instead of the convenience
+    fields. OBJ paths resolve like ``--scene``: as given, else under the
+    asset dir of ``cfg.scene_path``."""
+    import json
+
+    with open(spec_path) as f:
+        spec = json.load(f)
+    if isinstance(spec, dict):
+        spec = spec["instances"]
+    if not isinstance(spec, list) or not spec:
+        raise ValueError(f"{spec_path}: expected a non-empty instance list")
+    asset_dir = os.path.dirname(cfg.scene_path)
+    meshes: dict[str, MeshData] = {}
+    instances = []
+    for ent in spec:
+        path = ent["obj"]
+        if not os.path.exists(path):
+            path = os.path.join(asset_dir, ent["obj"])
+        if path not in meshes:
+            meshes[path] = parse_obj(path)
+        if "transform" in ent:
+            m = np.asarray(ent["transform"], np.float32)
+        else:
+            m = instance_transform(
+                translate=ent.get("translate", (0.0, 0.0, 0.0)),
+                scale=ent.get("scale", 1.0),
+                rotate_y_deg=ent.get("rotate_y_deg", 0.0))
+        instances.append(
+            Instance(meshes[path], m, mask=int(ent.get("mask", 1))))
+    envmap = load_texture(cfg.envmap_path)
+    scene, meta = build_instanced_scene(instances, envmap, cfg.cluster_size)
+    meta = dataclasses.replace(
+        meta, scene_path=spec_path, envmap_path=cfg.envmap_path)
+    return scene, meta
+
+
 def scene_to_device(scene: Scene, sharding=None) -> Scene:
     """Move scene leaves to device (replicated unless a sharding is given)."""
     import jax
