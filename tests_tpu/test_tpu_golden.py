@@ -128,6 +128,33 @@ def test_modular_intersect_compiled(sphere_scene):
     assert (np.asarray(i_p)[hit_p] == np.asarray(i_x)[hit_x]).all()
 
 
+def test_instanced_scene_on_hardware():
+    """TLAS-with-N-instances (transform baking, scene.Instance) through
+    the compiled fused kernel vs the oracle: placed copies must render
+    exactly like the merged mesh they bake to (the single-mesh contract
+    extended to instancing, RefractionDemo.cpp:325-335)."""
+    from refraction_tpu.scene import (
+        Instance, build_instanced_scene, instance_transform)
+
+    mesh = make_icosphere(subdiv=1, radius=0.8)
+    scene, meta = build_instanced_scene(
+        [Instance(mesh),
+         Instance(mesh, instance_transform(translate=(0.0, 0.0, -1.9),
+                                           scale=0.6)),
+         Instance(mesh, instance_transform(translate=(0.0, 0.0, 1.9),
+                                           scale=(0.5, 1.1, 0.5),
+                                           rotate_y_deg=40.0))],
+        make_gradient_envmap(64, 128), cluster_size=32)
+    assert meta.num_real_tris == 3 * mesh.num_tris
+    scene = scene_to_device(scene)
+    cfg = _cfg(max_refract_depth=3, max_reflect_depth=1)
+    img = np.asarray(
+        render_frame_fused(scene, orbit_camera(0.15, cfg), cfg))
+    assert np.isfinite(img).all() and img.max() > 0
+    ref = render_oracle(scene, cfg, angle=0.15)
+    assert rmse(img, ref) < RMSE_TOL
+
+
 def test_80k_tri_synthetic_streamed_on_hardware():
     """Size-agnostic traversal at 6.4x ott's triangle count: an 81,920-tri
     icosphere through the streaming path on the real chip, vs the oracle
