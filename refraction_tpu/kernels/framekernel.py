@@ -449,6 +449,12 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         from refraction_tpu.kernels.intersect_pallas import SUPER_CLUSTERS
 
         n_supers = -(-n_real_clusters // SUPER_CLUSTERS)
+        if n_supers < 2:
+            # One super bounds everything — no pruning possible, and the
+            # kernel's hier layout decode requires n_supers > 1 (a forced
+            # low RRT_SUPER with <= SUPER_CLUSTERS clusters lands here).
+            n_supers = 0
+    if n_supers:
         pad = n_supers * SUPER_CLUSTERS - n_real_clusters
         big = jnp.float32(3.0e38)
         ign = jnp.concatenate(
@@ -579,8 +585,12 @@ _F2B = os.environ.get("RRT_F2B", "1") != "0"
 
 # Coarse third bound level kicks in past this many clusters (RRT_SUPER
 # overrides; 0 disables). Below it the flat scan's word count is already
-# small and the extra super reduction would only add stalls.
-_SUPER_MIN_C = int(os.environ.get("RRT_SUPER", "64"))
+# small and the extra super reduction would only add stalls. 32 (not the
+# round-2 initial 64): ott at its optimal cluster size (256 -> 51
+# clusters, 2 supers) measured a consistent -1.0 ms (52.61 -> 51.54
+# median, every one of 6 paired runs ~1 ms faster); <= 32 clusters would
+# yield a single all-bounding super (no pruning) and is gated off.
+_SUPER_MIN_C = int(os.environ.get("RRT_SUPER", "32"))
 
 
 def front_to_back_scene(scene, origin):
