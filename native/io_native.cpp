@@ -49,31 +49,63 @@ bool parse_corner(const char* tok, long* vi, long* ti, long* ni) {
   return true;
 }
 
+// One float token under the shared numeric-token contract
+// (io/objmesh.py::_parse_float_token): full consumption like a sscanf
+// "%f" whose next directive must match, and strtof-only literal
+// extensions Python's float() rejects (hex floats, NaN payloads) are
+// rejected so the two implementations accept identical tokens.
+bool parse_float_token(const char* tok, float* dst) {
+  const char* p = tok;
+  while (*p == '\v' || *p == '\f') p++;   // strtof skips C whitespace
+  const char* q = (*p == '+' || *p == '-') ? p + 1 : p;
+  if (q[0] == '0' && (q[1] == 'x' || q[1] == 'X')) return false;
+  if (strchr(p, '(')) return false;       // strtof's nan(...) form
+  char* end = nullptr;
+  *dst = strtof(tok, &end);
+  return end != tok && *end == '\0';
+}
+
 float* parse_obj_impl(const char* path, long long* n_tris) {
   *n_tris = 0;
   FILE* f = fopen(path, "rb");
   if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string data((size_t)sz, '\0');
+  if (sz > 0 && fread(&data[0], 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
 
   std::vector<V3> locs, norms;
   std::vector<V2> uvs;
   std::vector<float> out;  // 24 floats per triangle
 
-  char line[8192];
+  // Lines split on '\n' only, no length limit (the reference's
+  // std::getline is unbounded, Mesh.cpp:13); strtok stops at an
+  // embedded NUL, which the Python twin mirrors by truncating there.
+  std::string linebuf;
   std::vector<char*> toks;
-  while (fgets(line, sizeof line, f)) {
+  size_t ls = 0;
+  while (ls <= data.size()) {
+    size_t le = data.find('\n', ls);
+    if (le == std::string::npos) le = data.size();
+    linebuf.assign(data, ls, le - ls);
+    ls = le + 1;
     toks.clear();
-    for (char* t = strtok(line, " \t\r\n"); t; t = strtok(nullptr, " \t\r\n"))
+    for (char* t = strtok(&linebuf[0], " \t\r\n"); t;
+         t = strtok(nullptr, " \t\r\n"))
       toks.push_back(t);
+    if (le == data.size() && toks.empty()) break;
     if (toks.empty()) continue;
     const char* tag = toks[0];
 
     auto parse_floats = [&](size_t need, float* dst) -> bool {
       if (toks.size() < need + 1) return false;
-      for (size_t i = 0; i < need; i++) {
-        char* end = nullptr;
-        dst[i] = strtof(toks[i + 1], &end);
-        if (end == toks[i + 1]) return false;
-      }
+      for (size_t i = 0; i < need; i++)
+        if (!parse_float_token(toks[i + 1], &dst[i])) return false;
       return true;
     };
 
@@ -111,7 +143,6 @@ float* parse_obj_impl(const char* path, long long* n_tris) {
       }
     }
   }
-  fclose(f);
 
   *n_tris = (long long)(out.size() / 24);
   if (out.empty()) {
@@ -165,7 +196,10 @@ float* load_hdr_impl(const char* path, long long* hh, long long* ww) {
   std::string res = data.substr(pos, eol - pos);
   pos = eol + 1;
   int h = 0, w = 0;
-  if (sscanf(res.c_str(), "-Y %d +X %d", &h, &w) != 2 || h <= 0 || w <= 0)
+  // Dimension cap shared with io/hdr.py: rejects hostile headers whose
+  // h*w*12-byte allocation would otherwise overflow size_t arithmetic.
+  if (sscanf(res.c_str(), "-Y %d +X %d", &h, &w) != 2 || h <= 0 || w <= 0 ||
+      (long long)h * w > (1LL << 28))
     return nullptr;
 
   const uint8_t* raw = (const uint8_t*)data.data();
@@ -194,7 +228,7 @@ float* load_hdr_impl(const char* path, long long* hh, long long* ww) {
             for (int i = 0; i < count; i++) scan[(size_t)(x + i) * 4 + c] = val;
             pos += 2;
           } else {            // literals
-            if (pos + 1 + count > (long)n || x + count > w) { free(out); return nullptr; }
+            if (pos + 1 + (size_t)count > n || x + count > w) { free(out); return nullptr; }
             for (int i = 0; i < count; i++)
               scan[(size_t)(x + i) * 4 + c] = raw[pos + 1 + i];
             pos += 1 + count;
@@ -215,7 +249,10 @@ float* load_hdr_impl(const char* path, long long* hh, long long* ww) {
           const uint8_t* px = raw + pos;
           pos += 4;
           if (px[0] == 1 && px[1] == 1 && px[2] == 1) {
-            int cnt = (int)px[3] << shift;
+            // Python-int semantics without signed-shift UB: consecutive
+            // repeat codes can push shift past 31; any nonzero count at
+            // such a shift necessarily exceeds the scanline.
+            long long cnt = (long long)px[3] << (shift > 40 ? 40 : shift);
             if (x + cnt > w) { free(out); return nullptr; }
             for (int i = 0; i < cnt; i++)
               rgbe_to_rgb(prev, out + ((size_t)y * w + x + i) * 3);

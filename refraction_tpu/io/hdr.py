@@ -15,6 +15,8 @@ Pixel conversion matches stb_image's `stbi__hdr_convert` exactly:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from refraction_tpu.io import native as _native
@@ -39,7 +41,9 @@ def decode_hdr_bytes(data: bytes) -> np.ndarray:
     pos = 0
     fmt_ok = False
     while True:
-        eol = data.index(b"\n", pos)
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            raise ValueError("truncated .hdr header")
         line = data[pos:eol]
         pos = eol + 1
         if line.startswith(b"FORMAT="):
@@ -50,12 +54,24 @@ def decode_hdr_bytes(data: bytes) -> np.ndarray:
         # Many writers omit or reorder; be permissive like stb (it requires
         # the 32-bit_rle_rgbe token — we only warn by accepting).
         pass
-    eol = data.index(b"\n", pos)
-    res = data[pos:eol].split()
+    eol = data.find(b"\n", pos)
+    if eol < 0:
+        raise ValueError("truncated .hdr header (no resolution line)")
+    res = data[pos:eol]
     pos = eol + 1
-    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+    # sscanf("-Y %d +X %d") semantics, shared with the native decoder:
+    # literals anchored at the line start, whitespace elastic (including
+    # absent), trailing bytes ignored.
+    m = re.match(rb"-Y\s*([+-]?[0-9]+)\s*\+X\s*([+-]?[0-9]+)", res)
+    if not m:
         raise ValueError(f"unsupported .hdr orientation: {res!r}")
-    height, width = int(res[1]), int(res[3])
+    height, width = int(m.group(1)), int(m.group(2))
+    # Reject nonsense dimensions before allocating (stb-style cap); the
+    # native decoder applies the same limits — without them a hostile
+    # header can demand a multi-exabyte (or, in C, integer-overflowed)
+    # allocation.
+    if height <= 0 or width <= 0 or height * width > (1 << 28):
+        raise ValueError(f"unreasonable .hdr dimensions {height}x{width}")
 
     rgbe = np.empty((height, width, 4), np.uint8)
     raw = np.frombuffer(data, np.uint8)
@@ -71,14 +87,22 @@ def decode_hdr_bytes(data: bytes) -> np.ndarray:
             for c in range(4):
                 x = 0
                 while x < width:
+                    if pos >= len(data):
+                        raise ValueError("truncated .hdr RLE data")
                     count = data[pos]
                     if count > 128:  # run
+                        if pos + 1 >= len(data):
+                            raise ValueError("truncated .hdr RLE run")
                         val = data[pos + 1]
                         n = count - 128
+                        if x + n > width:
+                            raise ValueError("corrupt .hdr RLE scanline")
                         rgbe[y, x:x + n, c] = val
                         pos += 2
                     else:  # literal
                         n = count
+                        if pos + 1 + n > len(data) or x + n > width:
+                            raise ValueError("corrupt .hdr RLE scanline")
                         rgbe[y, x:x + n, c] = raw[pos + 1:pos + 1 + n]
                         pos += 1 + n
                     x += n
@@ -97,6 +121,8 @@ def decode_hdr_bytes(data: bytes) -> np.ndarray:
             shift = 0
             while y < height:
                 while x < width:
+                    if pos + 4 > len(data):
+                        raise ValueError("truncated .hdr data")
                     px = raw[pos:pos + 4]
                     pos += 4
                     if px[0] == 1 and px[1] == 1 and px[2] == 1:

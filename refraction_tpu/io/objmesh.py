@@ -21,10 +21,37 @@ Output is struct-of-arrays NumPy, the natural TPU layout: per-triangle
 from __future__ import annotations
 
 import dataclasses
+import re
 
 import numpy as np
 
 from refraction_tpu.io import native as _native
+
+# Numeric-token contract shared with the C++ fast path (io_native.cpp)
+# and matching the reference's sscanf conversions: a token is consumed
+# IN FULL or the line is skipped (sscanf's next directive fails on the
+# leftover), so "1.5abc" or "1e" never half-parse; Python-only literal
+# extensions (digit-group underscores "1_0", non-ASCII digits, hex
+# floats "0x1p3") are rejected because strtol/strtof (and %d/%f) stop
+# at them. Ints are [+-]?digits (strtol base 10, full consume) modulo
+# leading C-locale whitespace — only \v/\f can survive tokenization.
+_INT_RE = re.compile(r"[\v\f]*[+-]?[0-9]+$")
+_HEX_RE = re.compile(r"[\v\f]*[+-]?0[xX]")
+
+# Lines split on \n ONLY and tokens on space/tab/CR/NL ONLY — C's
+# getline/strtok semantics; Python's splitlines()/split() additionally
+# break on \v, \f, \x85, U+2028… which C treats as token bytes.
+_TOKEN_SPLIT = re.compile(r"[ \t\r\n]+")
+
+
+def _parse_float_token(tok: str):
+    """Float token under the shared contract; None if malformed."""
+    if not tok.isascii() or "_" in tok or _HEX_RE.match(tok):
+        return None
+    try:
+        return float(tok)  # accepts inf/infinity/nan like strtof
+    except ValueError:
+        return None
 
 
 @dataclasses.dataclass
@@ -58,12 +85,9 @@ class MeshData:
 def _parse_face_token(tok: str):
     """Parse one ``v/vt/vn`` corner token; None if not the full triplet."""
     parts = tok.split("/")
-    if len(parts) != 3:
+    if len(parts) != 3 or not all(_INT_RE.match(p) for p in parts):
         return None
-    try:
-        return int(parts[0]), int(parts[1]), int(parts[2])
-    except ValueError:
-        return None
+    return int(parts[0]), int(parts[1]), int(parts[2])
 
 
 def parse_obj(path: str, allow_native: bool = True) -> MeshData:
@@ -90,28 +114,31 @@ def parse_obj_text(text: str) -> MeshData:
     tri_norm: list = []
     tri_uv: list = []
 
-    for line in text.splitlines():
-        parts = line.split()
+    for line in text.split("\n"):
+        # C line readers stop at an embedded NUL (the reference tokenizes
+        # C strings); drop anything after one so both paths see the line
+        # identically.
+        nul = line.find("\x00")
+        if nul >= 0:
+            line = line[:nul]
+        parts = [p for p in _TOKEN_SPLIT.split(line) if p]
         if not parts:
             continue
         tag = parts[0]
         # sscanf("v %f %f %f") needs exactly 3 floats after the tag; extra
         # tokens are ignored (sscanf stops reading), fewer is a non-match.
         if tag == "v" and len(parts) >= 4:
-            try:
-                locs.append((float(parts[1]), float(parts[2]), float(parts[3])))
-            except ValueError:
-                pass
+            vals = [_parse_float_token(t) for t in parts[1:4]]
+            if None not in vals:
+                locs.append(tuple(vals))
         elif tag == "vt" and len(parts) >= 3:
-            try:
-                uvs.append((float(parts[1]), float(parts[2])))
-            except ValueError:
-                pass
+            vals = [_parse_float_token(t) for t in parts[1:3]]
+            if None not in vals:
+                uvs.append(tuple(vals))
         elif tag == "vn" and len(parts) >= 4:
-            try:
-                norms.append((float(parts[1]), float(parts[2]), float(parts[3])))
-            except ValueError:
-                pass
+            vals = [_parse_float_token(t) for t in parts[1:4]]
+            if None not in vals:
+                norms.append(tuple(vals))
         elif tag == "f" and len(parts) >= 4:
             corners = [_parse_face_token(t) for t in parts[1:4]]
             if any(c is None for c in corners):

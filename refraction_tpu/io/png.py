@@ -35,11 +35,17 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
     palette = None
     trns = None
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
         chunk = data[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("truncated PNG chunk")
         pos += 12 + length
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("corrupt PNG IHDR")
             ihdr = struct.unpack(">IIBBBBB", chunk)
         elif ctype == b"PLTE":
             palette = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
@@ -52,6 +58,10 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, comp, filt, interlace = ihdr
+    # Dimension sanity before allocating scanline buffers (a corrupt
+    # IHDR can otherwise demand a multi-gigabyte array).
+    if w == 0 or h == 0 or w * h > (1 << 28):
+        raise ValueError(f"unreasonable PNG dimensions {w}x{h}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace != 0:

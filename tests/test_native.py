@@ -18,13 +18,14 @@ REF = "/root/reference"
 
 @pytest.fixture(scope="module")
 def native_lib():
-    so = os.path.join(ROOT, "native", "libio_native.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", os.path.join(ROOT, "native")],
-                           check=True, capture_output=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            pytest.skip(f"cannot build native lib: {e}")
+    # Always run make: it is an incremental no-op when the .so is up to
+    # date and rebuilds it when io_native.cpp changed (a stale library
+    # would silently test old semantics).
+    try:
+        subprocess.run(["make", "-C", os.path.join(ROOT, "native")],
+                       check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"cannot build native lib: {e}")
     # reset the cached loader state so the fresh .so is picked up
     native._LIB = None
     native._TRIED = False
