@@ -47,6 +47,64 @@ def morton_order(tri_pos: np.ndarray) -> np.ndarray:
     return np.argsort(codes, kind="stable")
 
 
+def _hilbert_keys(q: np.ndarray, bits: int = 10) -> np.ndarray:
+    """30-bit Hilbert-curve keys for quantized coords q (T, 3) uint32.
+
+    Skilling's AxesToTranspose (J. Skilling, "Programming the Hilbert
+    curve", AIP Conf. Proc. 707, 2004), vectorized over all points; the
+    transpose-format output interleaves into a single sortable key with
+    the same bit layout as the Morton key. The Hilbert curve has no
+    diagonal jumps, so equal-size clusters cut from it are spatially
+    tighter than Morton's — same build cost, better AABBs.
+    """
+    X = [q[..., 0].astype(np.uint32), q[..., 1].astype(np.uint32),
+         q[..., 2].astype(np.uint32)]
+    n = 3
+    M = np.uint32(1 << (bits - 1))
+    # Inverse undo excess work.
+    Q = M
+    while Q > 1:
+        P = np.uint32(Q - 1)
+        for i in range(n):
+            cond = (X[i] & Q) != 0
+            X[0] = np.where(cond, X[0] ^ P, X[0])          # invert
+            t = np.where(cond, np.uint32(0), (X[0] ^ X[i]) & P)
+            X[0] = X[0] ^ t                                 # exchange
+            X[i] = X[i] ^ t
+        Q = np.uint32(Q >> 1)
+    # Gray encode.
+    for i in range(1, n):
+        X[i] = X[i] ^ X[i - 1]
+    t = np.zeros_like(X[0])
+    Q = M
+    while Q > 1:
+        t = np.where((X[n - 1] & Q) != 0, t ^ np.uint32(Q - 1), t)
+        Q = np.uint32(Q >> 1)
+    for i in range(n):
+        X[i] = X[i] ^ t
+    return ((_expand_bits_np(X[0]) << np.uint32(2))
+            | (_expand_bits_np(X[1]) << np.uint32(1))
+            | _expand_bits_np(X[2]))
+
+
+def hilbert_order(tri_pos: np.ndarray) -> np.ndarray:
+    """Stable Hilbert ordering of triangles by centroid. tri_pos: (T,3,3).
+
+    Drop-in alternative to morton_order (RRT_CURVE=hilbert selects it in
+    scene.build_scene); any triangle order is behaviorally valid — only
+    cluster AABB tightness (i.e. traversal speed) changes.
+    """
+    if tri_pos.shape[0] == 0:
+        return np.zeros(0, np.int64)
+    centroids = tri_pos.mean(axis=1)
+    lo = tri_pos.reshape(-1, 3).min(axis=0)
+    hi = tri_pos.reshape(-1, 3).max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    q = np.clip((centroids - lo) / extent, 0.0, 0.9999999)
+    q = (q * 1024.0).astype(np.uint32)
+    return np.argsort(_hilbert_keys(q), kind="stable")
+
+
 def expand_bits_jnp(v, jnp):
     """jnp version of _expand_bits_np (for device-side LBVH builds)."""
     v = v.astype(jnp.uint32)

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import numpy as np
 
 from refraction_tpu.bvh.clusters import build_clusters
-from refraction_tpu.bvh.morton import morton_order
+from refraction_tpu.bvh.morton import hilbert_order, morton_order
 from refraction_tpu.config import RenderConfig
 from refraction_tpu.io.objmesh import MeshData, parse_obj
 from refraction_tpu.io.texture import load_texture
@@ -104,7 +104,10 @@ def build_scene(
         f"cluster_size={cluster_size} must be a multiple of "
         f"SUB_TRIS={SUB_TRIS} (kernel gating/record layouts divide by it)")
     t_real = mesh.num_tris
-    order = morton_order(mesh.positions)
+    if os.environ.get("RRT_CURVE", "morton") == "hilbert":
+        order = hilbert_order(mesh.positions)
+    else:
+        order = morton_order(mesh.positions)
     pos = mesh.positions[order]
     norm = mesh.normals[order]
 
