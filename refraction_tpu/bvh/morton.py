@@ -105,6 +105,58 @@ def hilbert_order(tri_pos: np.ndarray) -> np.ndarray:
     return np.argsort(_hilbert_keys(q), kind="stable")
 
 
+def _split_rec(idx: np.ndarray, cent: np.ndarray, leaf: int,
+               out: np.ndarray, pos: list) -> None:
+    """Recursive longest-axis median split into leaves of ``leaf`` tris,
+    written to ``out`` in tree order. Left children take full leaves
+    (ceil-half of the leaf count), so every aligned ``leaf``-sized window
+    of the output is one subtree."""
+    if idx.size <= leaf:
+        out[pos[0]:pos[0] + idx.size] = idx
+        pos[0] += idx.size
+        return
+    leaves = -(-idx.size // leaf)
+    c = cent[idx]
+    axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+    k = min(((leaves + 1) // 2) * leaf, idx.size)
+    part = np.argsort(c[:, axis], kind="stable")
+    _split_rec(idx[part[:k]], cent, leaf, out, pos)
+    _split_rec(idx[part[k:]], cent, leaf, out, pos)
+
+
+def median_split_order(tri_pos: np.ndarray,
+                       levels: tuple[int, ...]) -> np.ndarray:
+    """Cascaded recursive median-split ordering (the default; see
+    scene.build_scene's RRT_CURVE knob).
+
+    ``levels`` is a descending list of window sizes mirroring the
+    traversal hierarchy — (super_tris, cluster_size, sub_tris). Each
+    stage re-splits every aligned window of the previous level along its
+    longest centroid axis down to the next leaf size, so supers,
+    clusters AND subclusters are all kd-style tree nodes of their own
+    split. Unlike curve cuts (Morton/Hilbert), split axes adapt to the
+    actual extent: measured cluster/subcluster AABB surface area vs
+    Hilbert is -14%/-29% on ott.obj, -34%/-37% on monkey.obj, -26%/-27%
+    on shell.obj, -48%/-47% on the 81,920-tri icosphere (whose super
+    level NEEDS its own cascade stage: splitting straight to clusters
+    measured super SA +25% vs Hilbert; the super stage turns that into
+    -26%)."""
+    T = tri_pos.shape[0]
+    if T == 0:
+        return np.zeros(0, np.int64)
+    cent = tri_pos.mean(axis=1).astype(np.float64)
+    order = np.arange(T)
+    window = T
+    for leaf in levels:
+        out = np.empty(T, np.int64)
+        pos = [0]
+        for s in range(0, T, window):
+            _split_rec(order[s:s + window], cent, leaf, out, pos)
+        order = out
+        window = leaf
+    return order
+
+
 def expand_bits_jnp(v, jnp):
     """jnp version of _expand_bits_np (for device-side LBVH builds)."""
     v = v.astype(jnp.uint32)

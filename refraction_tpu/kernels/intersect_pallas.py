@@ -48,7 +48,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from refraction_tpu.scene import SUB_TRIS, Scene
+from refraction_tpu.scene import SUB_TRIS, SUPER_CLUSTERS, Scene
 
 BLOCK_RAYS = 1024  # one (8, 128) tile = the skip granularity
 GROUP = 16         # tiles processed per grid program (amortizes per-program
@@ -144,11 +144,9 @@ def iter_set_bits(word, visit):
     jax.lax.while_loop(lambda w: w != 0, body, word)
 
 
-# Clusters per coarse third-level AABB (hier mode). RRT_SUPER_SIZE
-# sweeps it; must stay a multiple of 16 so a super's 16-cluster spans
-# keep the streamed DMA ring slot identity (ci % 16 == word bit).
-SUPER_CLUSTERS = int(os.environ.get("RRT_SUPER_SIZE", "32"))
-assert SUPER_CLUSTERS % 16 == 0 and SUPER_CLUSTERS > 0, SUPER_CLUSTERS
+# Clusters per coarse third-level AABB (hier mode): SUPER_CLUSTERS,
+# defined in scene.py (imported above) so the median-split triangle
+# ordering can mirror the traversal hierarchy.
 
 
 def traverse_tile(tmin, tmax, num_clusters, cluster_size,

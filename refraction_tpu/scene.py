@@ -24,7 +24,8 @@ from typing import NamedTuple
 import numpy as np
 
 from refraction_tpu.bvh.clusters import build_clusters
-from refraction_tpu.bvh.morton import hilbert_order, morton_order
+from refraction_tpu.bvh.morton import (hilbert_order, median_split_order,
+                                       morton_order)
 from refraction_tpu.config import RenderConfig
 from refraction_tpu.io.objmesh import MeshData, parse_obj
 from refraction_tpu.io.texture import load_texture
@@ -93,18 +94,38 @@ def _round_up(x: int, m: int) -> int:
 # it; kernels/intersect_pallas imports it from here.
 SUB_TRIS = int(os.environ.get("RRT_SUBTRIS", "8"))
 
+# Clusters per coarse third-level AABB (hier mode). RRT_SUPER_SIZE
+# sweeps it; must stay a multiple of 16 so a super's 16-cluster spans
+# keep the streamed DMA ring slot identity (ci % 16 == word bit).
+# Lives here (not kernels/) so the median-split ordering can mirror the
+# traversal hierarchy without a scene->kernels import cycle.
+SUPER_CLUSTERS = int(os.environ.get("RRT_SUPER_SIZE", "32"))
+assert SUPER_CLUSTERS % 16 == 0 and SUPER_CLUSTERS > 0, SUPER_CLUSTERS
+
 
 def build_scene(
     mesh: MeshData,
     envmap: np.ndarray,
     cluster_size: int = 32,
 ) -> tuple[Scene, SceneMeta]:
-    """Morton-sort, pad, and precompute intersection inputs."""
+    """Spatially sort (RRT_CURVE), pad, and precompute intersection
+    inputs."""
     assert cluster_size % SUB_TRIS == 0 and cluster_size >= SUB_TRIS, (
         f"cluster_size={cluster_size} must be a multiple of "
         f"SUB_TRIS={SUB_TRIS} (kernel gating/record layouts divide by it)")
     t_real = mesh.num_tris
-    if os.environ.get("RRT_CURVE", "morton") == "hilbert":
+    # Triangle ordering sets super/cluster/subcluster AABB tightness,
+    # i.e. traversal speed. RRT_CURVE: hilbert (no diagonal jumps, ~20%
+    # tighter clusters than morton; measured -3.3 ms ott / -1.2 ms shell
+    # at 1080p), median (cascaded kd-style median split over the
+    # traversal hierarchy — tightest AABB proxy, device-ms pending),
+    # morton (round-1 baseline).
+    curve = os.environ.get("RRT_CURVE", "hilbert")
+    if curve == "median":
+        order = median_split_order(
+            mesh.positions,
+            (SUPER_CLUSTERS * cluster_size, cluster_size, SUB_TRIS))
+    elif curve == "hilbert":
         order = hilbert_order(mesh.positions)
     else:
         order = morton_order(mesh.positions)

@@ -83,3 +83,53 @@ def test_tighter_than_morton_on_random_points():
 
     # No diagonal jumps: consecutive curve steps are markedly shorter.
     assert mean_step(hilbert_order(tri)) < 0.9 * mean_step(morton_order(tri))
+
+
+def _window_sa(pos, order, leaf):
+    p = pos[order]
+    tot = 0.0
+    for s in range(0, p.shape[0], leaf):
+        w = p[s:s + leaf].reshape(-1, 3)
+        d = w.max(0) - w.min(0)
+        tot += 2.0 * (d[0] * d[1] + d[1] * d[2] + d[0] * d[2])
+    return tot
+
+
+def test_median_split_is_permutation_all_sizes():
+    from refraction_tpu.bvh.morton import median_split_order
+    rng = np.random.default_rng(3)
+    for t in (0, 1, 7, 8, 255, 256, 257, 1000):
+        tri = rng.uniform(-2, 2, (t, 3, 3)).astype(np.float32)
+        o = median_split_order(tri, (8192, 256, 8))
+        assert sorted(o.tolist()) == list(range(t)), t
+
+
+def test_median_split_windows_are_disjoint_splits():
+    # Every aligned window at every cascade level is one kd subtree: its
+    # centroid AABB must be tighter (never looser) than the same-index
+    # windows of a plain Hilbert order, at every level, on a shape with
+    # real structure (two separated blobs).
+    from refraction_tpu.bvh.morton import median_split_order
+    rng = np.random.default_rng(4)
+    a = rng.normal(0.0, 0.3, (600, 3))
+    b = rng.normal(4.0, 0.3, (424, 3))
+    pts = np.concatenate([a, b]).astype(np.float32)
+    rng.shuffle(pts)
+    tri = np.repeat(pts[:, None, :], 3, axis=1)
+    o = median_split_order(tri, (512, 64, 8))
+    h = hilbert_order(tri)
+    for leaf in (512, 64, 8):
+        assert _window_sa(tri, o, leaf) <= _window_sa(tri, h, leaf) * 1.05, leaf
+
+
+def test_median_split_levels_nest():
+    # A cascade stage only reorders WITHIN the parent windows: the set of
+    # triangles in each super window must be identical with and without
+    # the finer stages.
+    from refraction_tpu.bvh.morton import median_split_order
+    rng = np.random.default_rng(5)
+    tri = rng.uniform(-1, 1, (2048, 3, 3)).astype(np.float32)
+    coarse = median_split_order(tri, (512,))
+    full = median_split_order(tri, (512, 64, 8))
+    for s in range(0, 2048, 512):
+        assert set(coarse[s:s + 512].tolist()) == set(full[s:s + 512].tolist())
