@@ -379,8 +379,9 @@ def build_instanced_scene(
 ) -> tuple[Scene, SceneMeta]:
     """Build one scene from N instances (the TLAS-with-N-instances
     capability). Baked world-space triangles from all visible instances
-    are merged and Morton-clustered together, so traversal is exactly the
-    single-mesh path — instancing costs nothing per ray."""
+    are merged and spatially clustered together (RRT_CURVE order), so
+    traversal is exactly the single-mesh path — instancing costs nothing
+    per ray."""
     visible = [i for i in instances if i.mask & 0xFF]
     if not visible:
         raise ValueError("all instances are masked out (mask & 0xff == 0)")
