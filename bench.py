@@ -54,6 +54,42 @@ BASELINE_MRAYS = 500.0
 BASELINE_FPS = 30.0
 
 
+def _wait_for_healthy_device(max_wait_s=900):
+    """Pre-flight for unattended runs: the dev TPU is reached through a
+    relay that intermittently wedges on D2H (a plain matmul+np.asarray
+    hangs forever in jax.Array._value, then recovers minutes later).
+    Probe it in a SUBPROCESS with a timeout — a wedged window can't hang
+    this process — and wait it out up to ``max_wait_s`` before
+    proceeding regardless. stdout stays clean (one-JSON-line contract);
+    diagnostics go to stderr."""
+    import subprocess
+
+    probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "x = jnp.ones((256, 256), jnp.float32); "
+             "print(float(np.asarray(x @ x).sum()))")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=240, capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: device healthy after {attempt} probes",
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"bench: device probe still failing after {attempt} "
+                  "attempts; proceeding anyway", file=sys.stderr)
+            return False
+        print(f"bench: device probe failed (attempt {attempt}); relay may "
+              "be wedged, retrying in 60 s", file=sys.stderr)
+        time.sleep(60)
+
+
 def count_live_rays(scene, cfg):
     """Honest live-ray count per frame via the wavefront integrator's
     stats path (one slow dispatch; not part of the timed loop)."""
@@ -128,6 +164,8 @@ def device_kernel_ms(render, scene, cfg, n=4):
 
 def main():
     small = bool(os.environ.get("RRT_BENCH_SMALL"))
+    if not small:
+        _wait_for_healthy_device()
     cfg = RenderConfig(
         width=256 if small else 1920,
         height=128 if small else 1080,

@@ -53,17 +53,60 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _unit_interleave(n_pad: int, unit: int, ndev: int):
+    """(scatter, gather) closures for round-robin load balancing.
+
+    Static unit permutation: unit u lands at slot
+    ``(u % ndev) * units_per_dev + u // ndev``, so device d's contiguous
+    shard holds units d, d+ndev, d+2*ndev, ... — a uniform vertical
+    slice of the frame instead of one contiguous band (center rows carry
+    the object's bounce tree; sky rows miss straight to the envmap).
+    ``scatter`` maps ray order -> device-interleaved order, ``gather``
+    inverts it; both permute ``axis`` (default 0). ndev <= 1 returns
+    identities."""
+    if ndev <= 1:
+        ident = lambda x, axis=0: x  # noqa: E731
+        return ident, ident
+    n_units = n_pad // unit
+    upd = n_units // ndev
+    u = np.arange(n_units)
+    fwd = (u % ndev) * upd + u // ndev          # slot of unit u
+    inv = np.argsort(fwd)                        # unit at slot s
+    fwd_idx = jnp.asarray((fwd[:, None] * unit + np.arange(unit)).reshape(-1))
+    inv_idx = jnp.asarray((inv[:, None] * unit + np.arange(unit)).reshape(-1))
+
+    def scatter(x, axis=0):   # ray order -> device-interleaved order
+        return jnp.take(x, inv_idx, axis=axis)
+
+    def gather(x, axis=0):    # device-interleaved order -> ray order
+        return jnp.take(x, fwd_idx, axis=axis)
+
+    return scatter, gather
+
+
 def make_sharded_renderer(
     cfg: RenderConfig,
     mesh: Mesh,
     intersect_fn: Callable | None = None,
+    interleave: bool = True,
 ):
     """Build a jitted multi-device (scene, frame) -> (H, W, 3) renderer.
 
     Image rows x cols are flattened and sharded over the ``pixels`` mesh
     axis (padded up to a multiple of the device count); the scene is
     replicated. Per-sample jitter offsets follow render.make_renderer.
-    """
+
+    ``interleave`` (default) assigns the shard's work units (1024-ray
+    blocks, the megakernel tile size) to devices round-robin instead of
+    as one contiguous band each: the frame's cost is concentrated in the
+    center rows (the object's bounce tree; sky rows miss straight to the
+    envmap), so contiguous bands leave the sky-band chips idle behind
+    the center-band chips every frame. Round-robin gives every chip a
+    uniform vertical slice of the frame. Unit granularity keeps each
+    1024-ray block contiguous, so intra-block ray coherence (what the
+    traversal's window gating exploits) is untouched, and per-pixel work
+    is device-independent — the image is bit-identical either way
+    (asserted in test_sharding.py)."""
     env_fn = None
     mega = False
     if intersect_fn is None:
@@ -77,7 +120,11 @@ def make_sharded_renderer(
     n = cfg.height * cfg.width
     ndev = mesh.devices.size
     # The megakernel path needs whole 1024-ray tiles per shard.
-    n_pad = _round_up(n, ndev * (1024 if mega else 8))
+    unit = 1024 if mega else 8
+    n_pad = _round_up(n, ndev * unit)
+
+    scatter_units, gather_units = _unit_interleave(
+        n_pad, unit, ndev if interleave else 1)
 
     ray_spec = P("pixels")
     rep = P()
@@ -114,9 +161,12 @@ def make_sharded_renderer(
                 d = jnp.concatenate(
                     [d, jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], d.dtype), (pad, 3))]
                 )
+            o = scatter_units(o)
+            d = scatter_units(d)
             o = jax.lax.with_sharding_constraint(o, NamedSharding(mesh, ray_spec))
             d = jax.lax.with_sharding_constraint(d, NamedSharding(mesh, ray_spec))
             acc = acc + _trace_shard(scene, o, d)
+        acc = gather_units(acc)  # undo the unit interleave (ray order)
         return (acc[:n] / cfg.spp).reshape(cfg.height, cfg.width, 3)
 
     def render(scene: Scene, frame: CameraFrame):
@@ -146,6 +196,7 @@ def make_sample_sharded_renderer(
     cfg: RenderConfig,
     mesh: Mesh,
     intersect_fn: Callable | None = None,
+    interleave: bool = True,
 ):
     """Build a jitted (scene, frame) -> (H, W, 3) renderer over a 2-D
     ``(samples, pixels)`` mesh (``make_mesh2d``).
@@ -174,7 +225,10 @@ def make_sample_sharded_renderer(
             f"spp={cfg.spp} must be a multiple of the samples axis ({sdev})")
     offsets = sample_offsets(cfg.spp)
     n = cfg.height * cfg.width
-    n_pad = _round_up(n, pdev * (1024 if mega else 8))
+    unit = 1024 if mega else 8
+    n_pad = _round_up(n, pdev * unit)
+    scatter_units, gather_units = _unit_interleave(
+        n_pad, unit, pdev if interleave else 1)
     ray_spec = P("samples", "pixels", None)
 
     @partial(
@@ -214,9 +268,11 @@ def make_sample_sharded_renderer(
             o_all.append(o)
             d_all.append(d)
         sh = NamedSharding(mesh, ray_spec)
-        o_all = jax.lax.with_sharding_constraint(jnp.stack(o_all), sh)
-        d_all = jax.lax.with_sharding_constraint(jnp.stack(d_all), sh)
-        img = _trace(scene, o_all, d_all)
+        o_all = jax.lax.with_sharding_constraint(
+            scatter_units(jnp.stack(o_all), axis=1), sh)
+        d_all = jax.lax.with_sharding_constraint(
+            scatter_units(jnp.stack(d_all), axis=1), sh)
+        img = gather_units(_trace(scene, o_all, d_all))
         return (img[:n] / cfg.spp).reshape(cfg.height, cfg.width, 3)
 
     def render(scene: Scene, frame: CameraFrame):

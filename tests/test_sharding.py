@@ -42,6 +42,21 @@ def test_image_sharded_matches_single(sphere_scene, small_cfg, ndev):
     np.testing.assert_allclose(single, sharded, rtol=0, atol=2e-6)
 
 
+def test_interleaved_sharding_bit_identical(sphere_scene, small_cfg):
+    # Load-balance interleave is a pure unit permutation: per-pixel work
+    # is device-independent, so the image must be BIT-identical to the
+    # contiguous-band assignment.
+    scene, _ = sphere_scene
+    cfg = small_cfg.replace(width=40, height=24, backend="xla")
+    frame = orbit_camera(0.6, cfg)
+    mesh = make_mesh(8)
+    plain = np.asarray(
+        make_sharded_renderer(cfg, mesh, interleave=False)(scene, frame))
+    inter = np.asarray(
+        make_sharded_renderer(cfg, mesh, interleave=True)(scene, frame))
+    np.testing.assert_array_equal(plain, inter)
+
+
 def test_image_sharded_supersampling(cube_scene, small_cfg):
     scene, _ = cube_scene
     cfg = small_cfg.replace(width=32, height=16, backend="xla", spp=4)
