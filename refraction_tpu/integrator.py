@@ -97,9 +97,13 @@ def render_pixels(
     ``env_fn(scene, dirs, weight) -> (W, 3)`` computes the weighted miss
     contribution (weight already zeroed on non-miss lanes); defaults to the
     XLA gather implementation. With ``collect_stats`` returns
-    (radiance, {'rays_traced': int32 scalar, 'slot_rounds': int}) where
-    rays_traced counts *live* lanes entering each trace round (the honest
-    Mrays/s numerator) and slot_rounds the dense slot count.
+    (radiance, {'rays_traced': int32 scalar, 'slot_rounds': int,
+    'pixel_rays': (N,) int32}) where rays_traced counts *live* lanes
+    entering each trace round (the honest Mrays/s numerator),
+    slot_rounds the dense slot count, and pixel_rays the per-pixel live
+    ray-tree size (every pool width is N*2^k and lane i belongs to pixel
+    i % N, so the per-pixel count is a reshape-sum — the bounce-heatmap
+    source, SURVEY §5 metrics row).
     """
     if env_fn is None:
         from refraction_tpu.ops.backends import xla_env_contribution
@@ -116,11 +120,14 @@ def render_pixels(
     alive = jnp.ones((n,), bool)
     radiance = jnp.zeros((n, 3), f32)
     rays_traced = jnp.zeros((), jnp.int32)
+    pixel_rays = jnp.zeros((n,), jnp.int32)
     slot_rounds = 0
 
     for count in range(cfg.max_refract_depth + 1):
         if collect_stats:
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32))
+            pixel_rays = pixel_rays + alive.reshape(-1, n).sum(
+                axis=0, dtype=jnp.int32)
             slot_rounds += int(o.shape[0])
         tmin = f32(cfg.primary_tmin if count == 0 else cfg.secondary_tmin)
         tmax = f32(cfg.primary_tmax if count == 0 else cfg.secondary_tmax)
@@ -166,7 +173,9 @@ def render_pixels(
             weight, outside, alive = new_weight, new_outside, refr_alive
 
     if collect_stats:
-        return radiance, {"rays_traced": rays_traced, "slot_rounds": slot_rounds}
+        return radiance, {"rays_traced": rays_traced,
+                          "slot_rounds": slot_rounds,
+                          "pixel_rays": pixel_rays}
     return radiance
 
 

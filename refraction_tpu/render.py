@@ -201,6 +201,71 @@ def render_frame(
     return make_renderer(cfg, intersect_fn, env_fn)(scene, frame)
 
 
+def render_heatmap(
+    scene: Scene,
+    cfg: RenderConfig,
+    frame: CameraFrame | None = None,
+    angle: float = 0.01,
+) -> np.ndarray:
+    """Per-pixel live-ray-count heatmap, (H, W) int32 (SURVEY §5 metrics
+    row: "optional heatmaps (bounce count per pixel)").
+
+    Counts every live lane entering a trace round for the pixel's ray
+    tree, summed over spp samples: 1 = primary missed straight to the
+    envmap, larger = deeper refraction chains / reflection splits (the
+    per-pixel cost map of the frame). Runs the XLA wavefront path (the
+    diagnostic tool; speed is not the point here)."""
+    from refraction_tpu.integrator import render_pixels
+    from refraction_tpu.ops.backends import get_backend
+
+    if frame is None:
+        frame = orbit_camera(angle, cfg)
+    backend = get_backend("xla", cfg.cluster_size)
+    offsets = sample_offsets(cfg.spp)
+    n = cfg.height * cfg.width
+
+    @jax.jit
+    def _heat(scene, proj_inv, origin):
+        fr = CameraFrame(origin=origin, proj_inv=proj_inv)
+        counts = jnp.zeros((n,), jnp.int32)
+        for s in range(cfg.spp):
+            jitter = jnp.broadcast_to(jnp.asarray(offsets[s]), (n, 2))
+            o, d = generate_rays(
+                fr, cfg.width, cfg.height,
+                jitter=None if cfg.spp == 1 else jitter, xp=jnp,
+            )
+            _, st = render_pixels(
+                scene, o, d, cfg, backend.intersect,
+                backend.env_contribution, collect_stats=True)
+            counts = counts + st["pixel_rays"]
+        return counts.reshape(cfg.height, cfg.width)
+
+    return np.asarray(_heat(
+        scene,
+        jnp.asarray(frame.proj_inv, jnp.float32),
+        jnp.asarray(frame.origin, jnp.float32),
+    ))
+
+
+def heatmap_to_rgb(counts: np.ndarray) -> np.ndarray:
+    """Map (H, W) ray counts to a (H, W, 3) float image: black (0) ->
+    deep blue (1 ray) -> orange -> white (max), a perceptual-ish cost
+    ramp with no dependencies."""
+    c = counts.astype(np.float64)
+    t = np.where(c > 0, c / max(float(c.max()), 1.0), 0.0)
+    stops = np.array([
+        [0.00, 0.0, 0.0, 0.0],
+        [0.01, 0.05, 0.05, 0.35],
+        [0.40, 0.60, 0.20, 0.10],
+        [0.75, 0.95, 0.60, 0.15],
+        [1.00, 1.0, 1.0, 1.0],
+    ])
+    rgb = np.stack([
+        np.interp(t, stops[:, 0], stops[:, k + 1]) for k in range(3)
+    ], axis=-1)
+    return rgb.astype(np.float32)
+
+
 def rays_per_frame(cfg: RenderConfig) -> int:
     """Upper bound on traced rays per frame: sum of wavefront widths
     (the dense-slot count; the Mrays/s metric in bench.py divides actual

@@ -115,6 +115,10 @@ def main(argv=None) -> int:
                    help="render N placed copies of meshes (TLAS-with-N-"
                         "instances): JSON list of {obj, translate, scale,"
                         " rotate_y_deg, mask} or {obj, transform: 3x4}")
+    p.add_argument("--heatmap", metavar="PATH.png",
+                   help="render ONE per-pixel ray-count heatmap (bounce "
+                        "cost map) to PATH.png and exit (diagnostic; "
+                        "uses the XLA wavefront path)")
     p.add_argument("--serve", type=int, metavar="PORT",
                    help="serve the orbit live over HTTP (the reference's"
                         " window, headless): open http://HOST:PORT/ in a"
@@ -148,6 +152,16 @@ def main(argv=None) -> int:
              meta.num_real_tris, meta.num_padded_tris,
              scene.num_clusters, scene.envmap.shape)
     scene = scene_to_device(scene)
+
+    if args.heatmap:
+        from refraction_tpu.render import heatmap_to_rgb, render_heatmap
+
+        counts = render_heatmap(scene, cfg, angle=args.angle)
+        write_png(args.heatmap, heatmap_to_rgb(counts))
+        log.info("heatmap: max %d rays/pixel, mean %.2f -> %s",
+                 int(counts.max()), float(counts.mean()), args.heatmap)
+        return
+
     renderer = make_renderer(cfg)
 
     acc = None
