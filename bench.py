@@ -43,6 +43,11 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
 )
+# The axon TPU plugin tramples JAX_PLATFORMS during init (same fix as
+# run.py): re-assert an explicit platform request so RRT_BENCH_SMALL dev
+# runs on CPU actually run on CPU.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from refraction_tpu.camera import orbit_camera
 from refraction_tpu.config import RenderConfig
@@ -64,7 +69,10 @@ def _wait_for_healthy_device(max_wait_s=900):
     diagnostics go to stderr."""
     import subprocess
 
+    # The probe must fail if JAX silently fell back to CPU (a fast
+    # backend-init failure would otherwise read as 'healthy').
     probe = ("import jax, jax.numpy as jnp, numpy as np; "
+             "assert jax.devices()[0].platform != 'cpu', jax.devices(); "
              "x = jnp.ones((256, 256), jnp.float32); "
              "print(float(np.asarray(x @ x).sum()))")
     deadline = time.time() + max_wait_s

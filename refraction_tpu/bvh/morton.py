@@ -126,8 +126,8 @@ def _split_rec(idx: np.ndarray, cent: np.ndarray, leaf: int,
 
 def median_split_order(tri_pos: np.ndarray,
                        levels: tuple[int, ...]) -> np.ndarray:
-    """Cascaded recursive median-split ordering (the default; see
-    scene.build_scene's RRT_CURVE knob).
+    """Cascaded recursive median-split ordering (RRT_CURVE=median; see
+    scene.build_scene for the default and knob values).
 
     ``levels`` is a descending list of window sizes mirroring the
     traversal hierarchy — (super_tris, cluster_size, sub_tris). Each

@@ -67,19 +67,23 @@ def _unit_interleave(n_pad: int, unit: int, ndev: int):
     if ndev <= 1:
         ident = lambda x, axis=0: x  # noqa: E731
         return ident, ident
-    n_units = n_pad // unit
-    upd = n_units // ndev
-    u = np.arange(n_units)
-    fwd = (u % ndev) * upd + u // ndev          # slot of unit u
-    inv = np.argsort(fwd)                        # unit at slot s
-    fwd_idx = jnp.asarray((fwd[:, None] * unit + np.arange(unit)).reshape(-1))
-    inv_idx = jnp.asarray((inv[:, None] * unit + np.arange(unit)).reshape(-1))
+    upd = n_pad // unit // ndev
+
+    # Pure reshape/transpose (no gather — same rationale as
+    # render.tile_order): a (upd, ndev) block transpose of unit rows,
+    # which the SPMD partitioner lowers to a clean all-to-all instead of
+    # an opaque 2M-element index gather.
+    def _block_swap(x, a, b, axis):
+        lead, trail = x.shape[:axis], x.shape[axis + 1:]
+        x = x.reshape(*lead, a, b, unit, *trail)
+        x = jnp.swapaxes(x, axis, axis + 1)
+        return x.reshape(*lead, n_pad, *trail)
 
     def scatter(x, axis=0):   # ray order -> device-interleaved order
-        return jnp.take(x, inv_idx, axis=axis)
+        return _block_swap(x, upd, ndev, axis)
 
     def gather(x, axis=0):    # device-interleaved order -> ray order
-        return jnp.take(x, fwd_idx, axis=axis)
+        return _block_swap(x, ndev, upd, axis)
 
     return scatter, gather
 
@@ -105,8 +109,8 @@ def make_sharded_renderer(
     uniform vertical slice of the frame. Unit granularity keeps each
     1024-ray block contiguous, so intra-block ray coherence (what the
     traversal's window gating exploits) is untouched, and per-pixel work
-    is device-independent — the image is bit-identical either way
-    (asserted in test_sharding.py)."""
+    is device-independent — the image matches the contiguous assignment
+    to XLA-fusion ulp (asserted in test_sharding.py)."""
     env_fn = None
     mega = False
     if intersect_fn is None:

@@ -160,7 +160,7 @@ def main(argv=None) -> int:
         write_png(args.heatmap, heatmap_to_rgb(counts))
         log.info("heatmap: max %d rays/pixel, mean %.2f -> %s",
                  int(counts.max()), float(counts.mean()), args.heatmap)
-        return
+        return 0
 
     renderer = make_renderer(cfg)
 

@@ -127,8 +127,12 @@ def build_scene(
             (SUPER_CLUSTERS * cluster_size, cluster_size, SUB_TRIS))
     elif curve == "hilbert":
         order = hilbert_order(mesh.positions)
-    else:
+    elif curve == "morton":
         order = morton_order(mesh.positions)
+    else:
+        # A typo'd knob silently benchmarking the wrong ordering poisons
+        # perf experiments — fail loudly.
+        raise ValueError(f"RRT_CURVE={curve!r}: use median|hilbert|morton")
     pos = mesh.positions[order]
     norm = mesh.normals[order]
 

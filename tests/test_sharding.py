@@ -42,10 +42,12 @@ def test_image_sharded_matches_single(sphere_scene, small_cfg, ndev):
     np.testing.assert_allclose(single, sharded, rtol=0, atol=2e-6)
 
 
-def test_interleaved_sharding_bit_identical(sphere_scene, small_cfg):
+def test_interleaved_sharding_matches_contiguous(sphere_scene, small_cfg):
     # Load-balance interleave is a pure unit permutation: per-pixel work
-    # is device-independent, so the image must be BIT-identical to the
-    # contiguous-band assignment.
+    # is device-independent, so the image matches the contiguous-band
+    # assignment up to XLA fusion ulp noise (the reshape/transpose fuses
+    # into ray generation differently — same caveat as
+    # test_image_sharded_matches_single).
     scene, _ = sphere_scene
     cfg = small_cfg.replace(width=40, height=24, backend="xla")
     frame = orbit_camera(0.6, cfg)
@@ -54,7 +56,7 @@ def test_interleaved_sharding_bit_identical(sphere_scene, small_cfg):
         make_sharded_renderer(cfg, mesh, interleave=False)(scene, frame))
     inter = np.asarray(
         make_sharded_renderer(cfg, mesh, interleave=True)(scene, frame))
-    np.testing.assert_array_equal(plain, inter)
+    np.testing.assert_allclose(plain, inter, rtol=0, atol=2e-6)
 
 
 def test_image_sharded_supersampling(cube_scene, small_cfg):
