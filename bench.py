@@ -170,6 +170,54 @@ def device_kernel_ms(render, scene, cfg, n=4):
     return min(durs) if durs else None
 
 
+def _batched_dispatch_dt(scene, cfg, n_bursts=4, batch=8):
+    """Per-frame seconds in the batched-dispatch regime: ``batch`` fused
+    frame kernels per jit call, each batch returning ONE scalar checksum
+    computed inside the program so the host fetch of batch k-1 is a pure
+    D2H of a ready buffer that overlaps batch k's execution (2-deep
+    pipeline of batches)."""
+    from refraction_tpu.kernels.framekernel import build_scalars, frame_call
+    from refraction_tpu.render import sample_offsets
+
+    offsets = sample_offsets(cfg.spp)
+
+    @jax.jit
+    def render_batch(scene, scalars):
+        sums = []
+        for b in range(batch):
+            coded = scene.env_codes.shape[0] > 1
+            r, g, b_ = frame_call(
+                scene.tri_packed, scene.tri_norm_vmem,
+                scene.cluster_bounds, scene.sub_bounds,
+                scene.env_packed.reshape(-1, 128), scalars[b],
+                width=cfg.width, height=cfg.height, spp=cfg.spp,
+                max_refract=cfg.max_refract_depth,
+                max_reflect=cfg.max_reflect_depth,
+                env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
+                env_codes=scene.env_codes if coded else None,
+                env_lut=scene.env_lut if coded else None,
+            )
+            sums.append(r[0, 0] + g[0, 0] + b_[0, 0])
+        return jnp.sum(jnp.stack(sums))
+
+    def batch_scalars(a0):
+        return jnp.stack([
+            build_scalars(orbit_camera(a0 + 0.013 * b, cfg), cfg, offsets)
+            for b in range(batch)
+        ])
+
+    float(render_batch(scene, batch_scalars(0.4)))  # compile
+    prev = None
+    t0 = time.time()
+    for k in range(n_bursts):
+        out = render_batch(scene, batch_scalars(0.5 + 0.1 * k))
+        if prev is not None:
+            float(prev)
+        prev = out
+    float(prev)
+    return (time.time() - t0) / (n_bursts * batch)
+
+
 def main():
     small = bool(os.environ.get("RRT_BENCH_SMALL"))
     if not small:
@@ -225,53 +273,11 @@ def main():
     dt = min(dt, lat)
 
     # Batched-dispatch throughput: BATCH frames per jit call (offline
-    # animation regime; amortizes the per-dispatch host cost).
-    from refraction_tpu.kernels.framekernel import build_scalars, frame_call
-    from refraction_tpu.render import sample_offsets
-
-    BATCH = 8
-    offsets = sample_offsets(cfg.spp)
-
-    @jax.jit
-    def render_batch(scene, scalars):
-        # Returns ONE scalar checksum computed inside the program, so the
-        # host fetch of batch k-1 is a pure D2H of a ready buffer that
-        # overlaps batch k's execution (2-deep pipeline of batches).
-        sums = []
-        for b in range(BATCH):
-            coded = scene.env_codes.shape[0] > 1
-            r, g, b_ = frame_call(
-                scene.tri_packed, scene.tri_norm_vmem,
-                scene.cluster_bounds, scene.sub_bounds,
-                scene.env_packed.reshape(-1, 128), scalars[b],
-                width=cfg.width, height=cfg.height, spp=cfg.spp,
-                max_refract=cfg.max_refract_depth,
-                max_reflect=cfg.max_reflect_depth,
-                env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
-                env_codes=scene.env_codes if coded else None,
-                env_lut=scene.env_lut if coded else None,
-            )
-            sums.append(r[0, 0] + g[0, 0] + b_[0, 0])
-        return jnp.sum(jnp.stack(sums))
-
-    def batch_scalars(a0):
-        return jnp.stack([
-            build_scalars(orbit_camera(a0 + 0.013 * b, cfg), cfg, offsets)
-            for b in range(BATCH)
-        ])
-
-    float(render_batch(scene, batch_scalars(0.4)))  # compile
-    n_bursts = 4
-    prev = None
-    t0 = time.time()
-    for k in range(n_bursts):
-        out = render_batch(scene, batch_scalars(0.5 + 0.1 * k))
-        if prev is not None:
-            float(prev)
-        prev = out
-    float(prev)
-    dt_b = (time.time() - t0) / (n_bursts * BATCH)
-    dt = min(dt, dt_b)
+    # animation regime; amortizes the per-dispatch host cost). Pallas
+    # only — on the XLA backend (CPU small-mode smoke) there is no
+    # frame_call to batch, and the loop regime above already covers it.
+    if backend.name == "pallas":
+        dt = min(dt, _batched_dispatch_dt(scene, cfg))
 
     dev_ms = device_kernel_ms(render, scene, cfg)
 
@@ -282,32 +288,37 @@ def main():
     # its ceiling is the 60 Hz refresh; our device time at the same
     # config is the apples-to-apples "beat the reference on its own
     # benchmark" number. Guarded: never breaks the headline line.
-    ref_demo = {}
-    try:
-        cfg_ref = RenderConfig(
-            width=1024, height=768,
-            scene_path=os.path.join(
-                os.environ.get("RRT_ASSET_DIR", "/root/reference"),
-                "shell.obj"),
-            backend="auto", cluster_size=None)
-        scene_ref, _ = load_scene(cfg_ref)
-        scene_ref = scene_to_device(scene_ref)
-        render_ref = make_renderer(cfg_ref)
-        img_r = render_ref(scene_ref, orbit_camera(0.01, cfg_ref))
-        float(jnp.sum(img_r[0, 0]))
-        ref_ms = device_kernel_ms(render_ref, scene_ref, cfg_ref)
-        if ref_ms:
-            ref_demo = {
-                "ref_demo_device_ms": round(ref_ms, 1),
-                "ref_demo_fps_device": round(1e3 / ref_ms, 1),
-                "ref_demo_note": "shell.obj 1024x768 5-bounce, the "
-                                 "reference's exact demo config; the "
-                                 "reference itself is vsync-locked to "
-                                 "<=60 FPS (Present(1,0) + full stall, "
-                                 "RefractionDemo.cpp:609-611)",
-            }
-    except Exception as e:  # pragma: no cover - diagnostic only
-        ref_demo = {"ref_demo_error": repr(e)}
+    if small:
+        # The CPU smoke only checks the JSON contract; a 1024x768 XLA:CPU
+        # compile takes tens of minutes and proves nothing.
+        ref_demo = {"ref_demo_note": "skipped (RRT_BENCH_SMALL)"}
+    else:
+        try:
+            cfg_ref = RenderConfig(
+                width=1024, height=768,
+                scene_path=os.path.join(
+                    os.environ.get("RRT_ASSET_DIR", "/root/reference"),
+                    "shell.obj"),
+                backend="auto", cluster_size=None)
+            scene_ref, _ = load_scene(cfg_ref)
+            scene_ref = scene_to_device(scene_ref)
+            render_ref = make_renderer(cfg_ref)
+            img_r = render_ref(scene_ref, orbit_camera(0.01, cfg_ref))
+            float(jnp.sum(img_r[0, 0]))
+            ref_ms = device_kernel_ms(render_ref, scene_ref, cfg_ref)
+            ref_demo = {}
+            if ref_ms:
+                ref_demo = {
+                    "ref_demo_device_ms": round(ref_ms, 1),
+                    "ref_demo_fps_device": round(1e3 / ref_ms, 1),
+                    "ref_demo_note": "shell.obj 1024x768 5-bounce, the "
+                                     "reference's exact demo config; the "
+                                     "reference itself is vsync-locked to "
+                                     "<=60 FPS (Present(1,0) + full stall, "
+                                     "RefractionDemo.cpp:609-611)",
+                }
+        except Exception as e:  # pragma: no cover - diagnostic only
+            ref_demo = {"ref_demo_error": repr(e)}
 
     # spp=4 variant (VERDICT round-1 item 5 / BASELINE config 5 regime):
     # all four samples trace inside ONE kernel dispatch per frame, so the
@@ -335,7 +346,9 @@ def main():
     fps = 1.0 / dt
 
     print(json.dumps({
-        "metric": "FPS, monkey.obj 1920x1080 4-bounce refraction, 1 chip",
+        "metric": ("FPS, monkey.obj 256x128 4-bounce (RRT_BENCH_SMALL smoke)"
+                   if small else
+                   "FPS, monkey.obj 1920x1080 4-bounce refraction, 1 chip"),
         "value": round(fps, 2),
         "unit": "FPS",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
