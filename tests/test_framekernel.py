@@ -218,3 +218,38 @@ def test_third_level_supers_match_flat():
     streamed = render_frame_fused(scene, frame, cfg, interpret=True,
                                   streamed=True)
     assert np.array_equal(np.asarray(fused), np.asarray(streamed))
+
+
+@pytest.mark.parametrize("curve", ["median", "hilbert", "morton"])
+def test_fused_random_soup_matches_xla(curve, monkeypatch):
+    # Property-style robustness: an incoherent random triangle soup (no
+    # surface structure, awkward non-multiple count) exercises every
+    # RRT_CURVE ordering on degenerate centroid distributions, cluster
+    # padding, and window gating with near-useless bounds — the fused
+    # kernel must still agree with the XLA wavefront path.
+    from refraction_tpu.io.objmesh import MeshData
+
+    monkeypatch.setenv("RRT_CURVE", curve)
+
+    rng = np.random.default_rng(7)
+    cent = rng.uniform(-1.5, 1.5, (137, 1, 3))
+    tri = (cent + rng.normal(0.0, 0.2, (137, 3, 3))).astype(np.float32)
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    nrm = np.cross(e1, e2)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-12)
+    mesh = MeshData(
+        positions=tri,
+        normals=np.repeat(nrm[:, None, :], 3, axis=1).astype(np.float32),
+        uvs=np.zeros((137, 3, 2), np.float32),
+    )
+    scene, meta = build_scene(mesh, make_gradient_envmap(32, 64),
+                              cluster_size=32)
+    assert meta.num_real_tris == 137
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       backend="xla")
+    ref = _xla_image(scene, cfg)
+    fused = render_frame_fused(
+        scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert np.isfinite(np.asarray(fused)).all()
+    assert _rmse(ref, fused) < 1e-5
