@@ -23,6 +23,8 @@
 #include <string>
 #include <vector>
 
+#include <zlib.h>  // PNG IDAT inflate (system zlib, linked with -lz)
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -274,6 +276,187 @@ float* load_hdr_impl(const char* path, long long* hh, long long* ww) {
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// PNG decoding (the other half of the stb_image capability,
+// RefractionDemo.cpp:111 via io/texture.py's hdr->png fallback).
+//
+// Supported subset — exactly the cases the pure-Python decoder
+// (io/png.py::decode_png_bytes) handles minus sub-byte depths: 8/16-bit,
+// color types 0/2/3/4/6, scanline filters 0-4, palette + tRNS,
+// non-interlaced. Anything else returns nullptr and the Python
+// implementation takes over; supported inputs decode bit-identically
+// (tests/test_native.py).
+// ---------------------------------------------------------------------------
+
+inline uint32_t be32(const uint8_t* p) {
+  return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16) |
+         ((uint32_t)p[2] << 8) | (uint32_t)p[3];
+}
+
+uint8_t* load_png_impl(const char* path, long long* hh, long long* ww,
+                       long long* cc, long long* dd) {
+  *hh = *ww = *cc = *dd = 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> data((size_t)sz);
+  if (sz <= 0 || fread(data.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    return nullptr;
+  }
+  fclose(f);
+
+  static const uint8_t SIG[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  if (data.size() < 8 || memcmp(data.data(), SIG, 8) != 0) return nullptr;
+
+  size_t pos = 8, n = data.size();
+  bool have_ihdr = false;
+  uint32_t w = 0, h = 0;
+  int depth = 0, color = 0;
+  std::vector<uint8_t> idat, plte, trns;
+  while (pos + 8 <= n) {
+    uint32_t length = be32(&data[pos]);
+    const uint8_t* ctype = &data[pos + 4];
+    if (pos + 12 + (size_t)length > n) return nullptr;  // truncated chunk
+    const uint8_t* chunk = &data[pos + 8];
+    pos += 12 + length;
+    if (!memcmp(ctype, "IHDR", 4)) {
+      if (length != 13) return nullptr;
+      w = be32(chunk);
+      h = be32(chunk + 4);
+      depth = chunk[8];
+      color = chunk[9];
+      int comp = chunk[10], filt = chunk[11], interlace = chunk[12];
+      if (comp != 0 || filt != 0 || interlace != 0) return nullptr;
+      have_ihdr = true;
+    } else if (!memcmp(ctype, "PLTE", 4)) {
+      plte.assign(chunk, chunk + length);
+    } else if (!memcmp(ctype, "tRNS", 4)) {
+      trns.assign(chunk, chunk + length);
+    } else if (!memcmp(ctype, "IDAT", 4)) {
+      idat.insert(idat.end(), chunk, chunk + length);
+    } else if (!memcmp(ctype, "IEND", 4)) {
+      break;
+    }
+  }
+  if (!have_ihdr || w == 0 || h == 0 || (long long)w * h > (1LL << 28))
+    return nullptr;
+  if (depth != 8 && depth != 16) return nullptr;  // sub-byte -> Python
+  int nch;
+  switch (color) {
+    case 0: nch = 1; break;
+    case 2: nch = 3; break;
+    case 3: nch = 1; break;
+    case 4: nch = 2; break;
+    case 6: nch = 4; break;
+    default: return nullptr;
+  }
+  if (color == 3 && depth != 8) return nullptr;  // palette is 8-bit here
+
+  size_t bytes_pp = (size_t)depth * nch / 8;
+  size_t stride = (size_t)w * bytes_pp;
+  size_t need = (size_t)h * (stride + 1);
+
+  std::vector<uint8_t> raw(need);
+  {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit(&zs) != Z_OK) return nullptr;
+    zs.next_in = idat.data();
+    zs.avail_in = (uInt)idat.size();
+    zs.next_out = raw.data();
+    zs.avail_out = (uInt)need;
+    int rc = inflate(&zs, Z_FINISH);
+    bool ok = (zs.total_out == need) &&
+              (rc == Z_STREAM_END || rc == Z_OK || rc == Z_BUF_ERROR);
+    inflateEnd(&zs);
+    if (!ok) return nullptr;  // short data -> corrupt (Python raises too)
+  }
+
+  // Undo scanline filters in place into `img` rows.
+  std::vector<uint8_t> cur(stride), prev(stride, 0);
+  std::vector<uint8_t> pixels((size_t)h * stride);
+  for (uint32_t y = 0; y < h; y++) {
+    const uint8_t* src = &raw[(size_t)y * (stride + 1)];
+    int ftype = src[0];
+    memcpy(cur.data(), src + 1, stride);
+    switch (ftype) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (size_t i = bytes_pp; i < stride; i++)
+          cur[i] = (uint8_t)(cur[i] + cur[i - bytes_pp]);
+        break;
+      case 2:  // Up
+        for (size_t i = 0; i < stride; i++)
+          cur[i] = (uint8_t)(cur[i] + prev[i]);
+        break;
+      case 3:  // Average
+        for (size_t i = 0; i < stride; i++) {
+          int a = i >= bytes_pp ? cur[i - bytes_pp] : 0;
+          cur[i] = (uint8_t)(cur[i] + ((a + prev[i]) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t i = 0; i < stride; i++) {
+          int a = i >= bytes_pp ? cur[i - bytes_pp] : 0;
+          int b = prev[i];
+          int c = i >= bytes_pp ? prev[i - bytes_pp] : 0;
+          int p = a + b - c;
+          int pa = abs(p - a), pb = abs(p - b), pc = abs(p - c);
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          cur[i] = (uint8_t)(cur[i] + pred);
+        }
+        break;
+      default:
+        return nullptr;  // bad filter type
+    }
+    memcpy(&pixels[(size_t)y * stride], cur.data(), stride);
+    prev = cur;
+  }
+
+  if (color == 3) {
+    // Palette expansion (+ optional tRNS alpha, indexed by palette index).
+    if (plte.size() < 3) return nullptr;
+    size_t pal_n = plte.size() / 3;
+    bool alpha = !trns.empty();
+    int out_c = alpha ? 4 : 3;
+    uint8_t* out = (uint8_t*)malloc((size_t)h * w * out_c);
+    if (!out) return nullptr;
+    for (size_t i = 0; i < (size_t)h * w; i++) {
+      uint8_t idx = pixels[i];
+      // OOB palette index -> corrupt (the Python decoder's fancy-index
+      // raises); nullptr routes the file to Python for the error.
+      if (idx >= pal_n) { free(out); return nullptr; }
+      out[i * out_c + 0] = plte[(size_t)idx * 3 + 0];
+      out[i * out_c + 1] = plte[(size_t)idx * 3 + 1];
+      out[i * out_c + 2] = plte[(size_t)idx * 3 + 2];
+      if (alpha)
+        out[i * out_c + 3] = idx < trns.size() ? trns[idx] : 255;
+    }
+    *hh = h; *ww = w; *cc = out_c; *dd = 8;
+    return out;
+  }
+
+  if (depth == 16) {
+    // Big-endian pairs -> host uint16.
+    uint16_t* out = (uint16_t*)malloc((size_t)h * w * nch * 2);
+    if (!out) return nullptr;
+    for (size_t i = 0; i < (size_t)h * w * nch; i++)
+      out[i] = (uint16_t)((pixels[i * 2] << 8) | pixels[i * 2 + 1]);
+    *hh = h; *ww = w; *cc = nch; *dd = 16;
+    return (uint8_t*)out;
+  }
+
+  uint8_t* out = (uint8_t*)malloc(pixels.size());
+  if (!out) return nullptr;
+  memcpy(out, pixels.data(), pixels.size());
+  *hh = h; *ww = w; *cc = nch; *dd = 8;
+  return out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -284,6 +467,14 @@ float* rrt_parse_obj(const char* path, long long* n_tris) {
 
 float* rrt_load_hdr(const char* path, long long* h, long long* w) {
   return load_hdr_impl(path, h, w);
+}
+
+// Decoded pixels: (h, w, c) of uint8 (depth 8) or host-order uint16
+// (depth 16). nullptr = unsupported-or-corrupt; caller falls back to the
+// Python decoder.
+uint8_t* rrt_load_png(const char* path, long long* h, long long* w,
+                      long long* c, long long* depth) {
+  return load_png_impl(path, h, w, c, depth);
 }
 
 void rrt_free(void* p) { free(p); }

@@ -58,6 +58,14 @@ def _bind(lib):
         ctypes.POINTER(ctypes.c_longlong),
         ctypes.POINTER(ctypes.c_longlong),
     ]
+    lib.rrt_load_png.restype = ctypes.c_void_p
+    lib.rrt_load_png.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong),
+    ]
     lib.rrt_free.restype = None
     lib.rrt_free.argtypes = [ctypes.c_void_p]
 
@@ -88,6 +96,31 @@ def parse_obj(path: str):
     norm = buf[:, 9:18].reshape(t, 3, 3)
     uv = buf[:, 18:24].reshape(t, 3, 2)
     return pos, norm, uv
+
+
+def load_png(path: str):
+    """Returns (H, W, C) uint8/uint16 or None (unsupported subset falls
+    back to io/png.py: sub-byte depths, interlaced)."""
+    lib = _load()
+    if lib is None or not os.path.exists(path):
+        return None
+    h = ctypes.c_longlong(0)
+    w = ctypes.c_longlong(0)
+    c = ctypes.c_longlong(0)
+    d = ctypes.c_longlong(0)
+    ptr = lib.rrt_load_png(path.encode(), ctypes.byref(h), ctypes.byref(w),
+                           ctypes.byref(c), ctypes.byref(d))
+    if not ptr:
+        return None
+    try:
+        ct = ctypes.c_uint16 if d.value == 16 else ctypes.c_uint8
+        arr = np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ct)),
+            shape=(h.value, w.value, c.value),
+        ).copy()
+    finally:
+        lib.rrt_free(ptr)
+    return arr
 
 
 def load_hdr(path: str):

@@ -14,13 +14,22 @@ import zlib
 
 import numpy as np
 
+from refraction_tpu.io import native as _native
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 # Channels per pixel for PNG color types 0,2,3,4,6.
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def load_png(path: str) -> np.ndarray:
+def load_png(path: str, allow_native: bool = True) -> np.ndarray:
+    """Decode a PNG file; uses the C++ fast path when built (bit-identical
+    on its supported subset — sub-byte depths and unsupported/corrupt
+    inputs fall back here; see native/io_native.cpp)."""
+    if allow_native and _native.available():
+        arr = _native.load_png(path)
+        if arr is not None:
+            return arr
     with open(path, "rb") as f:
         return decode_png_bytes(f.read())
 
@@ -128,12 +137,15 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
-        img = palette[img[..., 0]]
+        idx = img[..., 0]
+        img = palette[idx]
         if trns is not None:
+            # tRNS alpha is indexed by the PALETTE index (PNG spec 11.3.2),
+            # not by the expanded red value.
             alpha = np.full(256, 255, np.uint8)
             t = np.frombuffer(trns, np.uint8)
             alpha[: t.size] = t
-            img = np.dstack([img, alpha[img[..., 0]]])
+            img = np.dstack([img, alpha[idx]])
     return img
 
 
