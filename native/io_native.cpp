@@ -312,7 +312,7 @@ uint8_t* load_png_impl(const char* path, long long* hh, long long* ww,
   if (data.size() < 8 || memcmp(data.data(), SIG, 8) != 0) return nullptr;
 
   size_t pos = 8, n = data.size();
-  bool have_ihdr = false;
+  bool have_ihdr = false, saw_iend = false;
   uint32_t w = 0, h = 0;
   int depth = 0, color = 0;
   std::vector<uint8_t> idat, plte, trns;
@@ -338,9 +338,13 @@ uint8_t* load_png_impl(const char* path, long long* hh, long long* ww,
     } else if (!memcmp(ctype, "IDAT", 4)) {
       idat.insert(idat.end(), chunk, chunk + length);
     } else if (!memcmp(ctype, "IEND", 4)) {
+      saw_iend = true;
       break;
     }
   }
+  // A trailing partial chunk header is an error in the Python decoder
+  // ("truncated PNG chunk header") unless IEND already ended the stream.
+  if (!saw_iend && pos != n) return nullptr;
   if (!have_ihdr || w == 0 || h == 0 || (long long)w * h > (1LL << 28))
     return nullptr;
   if (depth != 8 && depth != 16) return nullptr;  // sub-byte -> Python

@@ -318,3 +318,57 @@ def test_png_bitflip_fuzz():
             decode_png_bytes(bytes(data))
         except (ValueError, zlib.error):
             pass
+
+
+def test_png_fuzz_python_vs_native(native_lib, tmp_path):
+    """Parity property at the dispatch boundary: for ANY input bytes the
+    native decoder either bows out (None -> Python fallback) or returns
+    exactly what the Python decoder returns. Random valid files sweep
+    sizes/color types/depths/filters; mutations sweep corruption."""
+    import struct
+
+    rng = np.random.default_rng(17)
+    p = str(tmp_path / "f.png")
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    def rand_png():
+        color, nch = [(0, 1), (2, 3), (4, 2), (6, 4)][int(rng.integers(4))]
+        depth = 16 if rng.random() < 0.3 else 8
+        w = int(rng.integers(1, 24))
+        h = int(rng.integers(1, 12))
+        stride = w * nch * (depth // 8)
+        rows = b"".join(
+            bytes([int(rng.integers(0, 5))])
+            + rng.integers(0, 256, stride, dtype=np.uint8).tobytes()
+            for _ in range(h))
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+
+    def check(blob, tag):
+        with open(p, "wb") as f:
+            f.write(blob)
+        nat = native_lib.load_png(p)
+        try:
+            py = decode_png_bytes(blob)
+        except (ValueError, zlib.error):
+            py = None
+        if nat is None:
+            return  # fallback: Python's answer (or error) stands either way
+        assert py is not None, f"{tag}: native decoded what python rejects"
+        assert nat.dtype == py.dtype and nat.shape == py.shape, tag
+        np.testing.assert_array_equal(nat, py, err_msg=tag)
+
+    for it in range(40):
+        base = rand_png()
+        check(base, f"valid {it}")
+        # structural mutations: truncate / bit-flip
+        cut = base[: int(rng.integers(8, len(base)))]
+        check(cut, f"trunc {it}")
+        flipped = bytearray(base)
+        flipped[int(rng.integers(8, len(flipped)))] ^= 1 << int(rng.integers(8))
+        check(bytes(flipped), f"flip {it}")
