@@ -175,3 +175,22 @@ def test_80k_tri_synthetic_streamed_on_hardware():
     assert np.isfinite(img).all() and img.max() > 0
     ref = render_oracle(scene, cfg, angle=0.2)
     assert rmse(img, ref) < RMSE_TOL
+
+
+def test_median_ordering_matches_oracle(monkeypatch):
+    """RRT_CURVE=median (cascaded kd-style split) through the compiled
+    kernel: the ordering changes cluster/subcluster layout and gating
+    behavior, so the hardware tier must pin it against the oracle like
+    the default ordering."""
+    monkeypatch.setenv("RRT_CURVE", "median")
+    scene, _ = build_scene(
+        make_icosphere(subdiv=2, radius=1.2),
+        make_gradient_envmap(64, 128),
+        cluster_size=32,
+    )
+    scene = scene_to_device(scene)
+    cfg = _cfg(max_refract_depth=4, max_reflect_depth=2)
+    img = np.asarray(
+        render_frame_fused(scene, orbit_camera(0.6, cfg), cfg))
+    ref = render_oracle(scene, cfg, angle=0.6)
+    assert rmse(img, ref) < RMSE_TOL
