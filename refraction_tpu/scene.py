@@ -115,12 +115,13 @@ def build_scene(
         f"SUB_TRIS={SUB_TRIS} (kernel gating/record layouts divide by it)")
     t_real = mesh.num_tris
     # Triangle ordering sets super/cluster/subcluster AABB tightness,
-    # i.e. traversal speed. RRT_CURVE: hilbert (no diagonal jumps, ~20%
-    # tighter clusters than morton; measured -3.3 ms ott / -1.2 ms shell
-    # at 1080p), median (cascaded kd-style median split over the
-    # traversal hierarchy — tightest AABB proxy, device-ms pending),
+    # i.e. traversal speed. RRT_CURVE: median (default — cascaded
+    # kd-style median split over the traversal hierarchy; measured
+    # device medians vs hilbert at 1080p: monkey 18.3->17.3 ms, shell
+    # 28.0->24.7, ott 49.6->45.8, 81,920-tri icosphere 53.8->45.6),
+    # hilbert (no diagonal jumps, ~20% tighter clusters than morton),
     # morton (round-1 baseline).
-    curve = os.environ.get("RRT_CURVE", "hilbert")
+    curve = os.environ.get("RRT_CURVE", "median")
     if curve == "median":
         order = median_split_order(
             mesh.positions,
@@ -301,14 +302,18 @@ def build_scene(
 
 def auto_cluster_size(num_tris: int) -> int:
     """Empirical per-scene cluster size (device-ms sweeps at 1080p on one
-    v5e: monkey 967t 256>128>64, shell 1536t 128>256, ott 12877t
-    256>512>128 — small and large scenes like coarse clusters, the
-    nested-shell mid range likes finer culling)."""
+    v5e, re-confirmed under the median-split ordering: monkey 967t
+    256>128, shell 1536t 128~256, ott 12877t 256>512>128, 81,920t
+    icosphere 512>256 — small scenes like coarse clusters, the
+    nested-shell mid range likes finer culling, and streamed-regime
+    scenes want bigger DMA records)."""
     if num_tris <= 1100:
         return 256
     if num_tris <= 8192:
         return 128
-    return 256
+    if num_tris <= 32768:
+        return 256
+    return 512
 
 
 def load_scene(cfg: RenderConfig) -> tuple[Scene, SceneMeta]:
