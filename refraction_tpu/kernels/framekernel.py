@@ -74,7 +74,8 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                   *, cluster_size: int, env_h: int, env_w: int, env_rows: int,
                   width: int, height: int, tiles_x: int, group: int,
                   spp: int, max_refract: int, max_reflect: int,
-                  n_slots: int, stream=None, n_supers: int = 0):
+                  n_slots: int, stream=None, n_supers: int = 0,
+                  tile_stride: int = 1, n_tiles_real: int = 0):
     # Under the hier (third bound level) layout, cluster_sm holds
     # [supers | padded clusters]; derive the true count from the shape.
     if n_supers > 1:
@@ -101,7 +102,17 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
     px_l = idx % TILE_W
 
     def tile(g, _):
-        tile_id = i * group + g
+        # Multi-device pixel DP (parallel/sharding.make_fused_sharded_
+        # renderer): shard d of S renders global tiles d, d+S, d+2S, ...
+        # (round-robin over the frame so every chip gets a uniform slice
+        # of the object's bounce tree). tile_stride == 1 is the
+        # single-device layout; the shard base rides at the tail of the
+        # scalar vector so the kernel arity is unchanged.
+        if tile_stride == 1:
+            tile_id = i * group + g
+        else:
+            base = scalars_sm[_N_BASE_SCALARS + 2 * spp].astype(jnp.int32)
+            tile_id = (i * group + g) * tile_stride + base
         ty = tile_id // tiles_x
         tx = tile_id - ty * tiles_x
         gx0 = (tx * TILE_W + px_l).astype(f32)
@@ -111,18 +122,29 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         rad_g[:] = jnp.zeros((_SUB, _LANE), f32)
         rad_b[:] = jnp.zeros((_SUB, _LANE), f32)
 
-        if spp == 1:
-            _sample(gx0, gy0, 0)
-        else:
-            # Rolled (not unrolled): a 4x statically-unrolled sample loop
-            # measured 104 ms device for spp=4 monkey vs 4 x 18.5 ms
-            # expected — program-size blowup hurts Mosaic's scheduling.
-            # Jitter offsets index SMEM by the traced sample id.
-            def sample_body(s, _):
-                _sample(gx0, gy0, s)
-                return 0
+        def do_samples():
+            if spp == 1:
+                _sample(gx0, gy0, 0)
+            else:
+                # Rolled (not unrolled): a 4x statically-unrolled sample
+                # loop measured 104 ms device for spp=4 monkey vs
+                # 4 x 18.5 ms expected — program-size blowup hurts
+                # Mosaic's scheduling. Jitter offsets index SMEM by the
+                # traced sample id.
+                def sample_body(s, _):
+                    _sample(gx0, gy0, s)
+                    return 0
 
-            jax.lax.fori_loop(0, spp, sample_body, 0)
+                jax.lax.fori_loop(0, spp, sample_body, 0)
+
+        if n_tiles_real:
+            # Sharded grids pad the global tile count to a multiple of
+            # the device count; pad tiles keep their zero radiance.
+            @pl.when(tile_id < n_tiles_real)
+            def _():
+                do_samples()
+        else:
+            do_samples()
 
         rows = pl.ds(g * _SUB, _SUB)
         out_r[rows, :] = rad_r[:] * inv_spp
@@ -397,13 +419,15 @@ def _pick_group(n_tiles: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_refract", "max_reflect",
-                     "env_h", "env_w", "interpret", "cluster_size"),
+                     "env_h", "env_w", "interpret", "cluster_size",
+                     "tile_stride", "n_tiles_local", "n_tiles_real"),
 )
 def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
                env_flat, scalars, width, height, spp, max_refract,
                max_reflect, env_h, env_w, interpret=False,
                cluster_records=None, cluster_size=None,
-               env_codes=None, env_lut=None):
+               env_codes=None, env_lut=None,
+               tile_stride=1, n_tiles_local=None, n_tiles_real=0):
     """Render one frame fully on-device; returns (r, g, b) tile-order
     (rows, 128) radiance planes for an image padded to whole 32x32 tiles.
 
@@ -418,6 +442,13 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
     triangle data lives in HBM and visited clusters are DMA'd into a
     16-slot SMEM ring (traverse_tile stream mode) — for scenes whose
     tables exceed the SMEM budget.
+
+    Multi-device pixel DP (``tile_stride`` > 1, set by
+    parallel.sharding.make_fused_sharded_renderer): this call renders
+    ``n_tiles_local`` tiles — global tile ids ``j * tile_stride + base``
+    with the shard base appended to ``scalars`` at index
+    ``_N_BASE_SCALARS + 2*spp`` — and ``n_tiles_real`` gates off the
+    round-up padding tiles (their output rows stay zero).
     """
     streamed = tri_packed is None
     assert (not streamed) or cluster_size is not None, (
@@ -426,6 +457,13 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
     w_pad = ((width + TILE_W - 1) // TILE_W) * TILE_W
     tiles_x = w_pad // TILE_W
     n_tiles = (h_pad // TILE_H) * tiles_x
+    if n_tiles_local is not None:
+        n_tiles = n_tiles_local
+    if tile_stride > 1:
+        assert scalars.shape[0] >= _N_BASE_SCALARS + 2 * spp + 1, (
+            "sharded frame_call needs the shard's tile base appended to "
+            f"scalars (len {scalars.shape[0]}, need "
+            f"{_N_BASE_SCALARS + 2 * spp + 1})")
     group = _pick_group(n_tiles)
     grid = n_tiles // group
     rows = n_tiles * _SUB
@@ -484,6 +522,7 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         env_rows=env_rows, width=width, height=height, tiles_x=tiles_x,
         group=group, spp=spp, max_refract=max_refract,
         max_reflect=max_reflect, n_slots=n_slots, n_supers=n_supers,
+        tile_stride=tile_stride, n_tiles_real=n_tiles_real,
     )
     pool = lambda dt: pltpu.VMEM((n_slots * _SUB, _LANE), dt)  # noqa: E731
     scratch = [

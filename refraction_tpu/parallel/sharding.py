@@ -183,6 +183,97 @@ def make_sharded_renderer(
     return render
 
 
+def make_fused_sharded_renderer(
+    cfg: RenderConfig,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """Pixel-DP of the PRODUCTION whole-frame fused kernel
+    (kernels/framekernel.py) over the ``pixels`` mesh axis.
+
+    Unlike make_sharded_renderer (which shards pre-generated rays through
+    the per-round megakernel), nothing per-ray crosses shards here: each
+    device receives only the replicated scene + the per-frame scalar
+    vector, generates its own tiles' rays inside the kernel, and renders
+    global tiles ``d, d+S, d+2S, ...`` (round-robin, so every chip gets a
+    uniform slice of the object's bounce tree — same load-balancing
+    rationale as _unit_interleave). The only collective is the output
+    assembly into the replicated image. The global 32x32-tile count is
+    padded to a multiple of the device count; pad tiles are gated off
+    inside the kernel and contribute zero rows.
+
+    ``interpret=True`` runs the Pallas kernel in interpret mode — the CPU
+    virtual-mesh test/dry-run configuration; on a real TPU slice the same
+    code compiles per-shard Mosaic kernels."""
+    from refraction_tpu.kernels.framekernel import (
+        TILE_H, TILE_W, build_scalars, fits_smem, frame_call,
+        front_to_back_scene)
+    from refraction_tpu.render import sample_offsets, untile_order
+
+    _SUB, _LANE = 8, 128
+    ndev = mesh.devices.size
+    h_pad = _round_up(cfg.height, TILE_H)
+    w_pad = _round_up(cfg.width, TILE_W)
+    n_tiles = (h_pad // TILE_H) * (w_pad // TILE_W)
+    n_tiles_pad = _round_up(n_tiles, ndev)
+    n_local = n_tiles_pad // ndev
+    offsets = sample_offsets(cfg.spp)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P("pixels"),) * 3,
+        check_vma=False,  # same rationale as make_sharded_renderer
+    )
+    def _shard(scene, scalars):
+        base = jax.lax.axis_index("pixels").astype(jnp.float32).reshape(1)
+        scal = jnp.concatenate([scalars, base])
+        if fits_smem(scene):
+            geom = (scene.tri_packed, scene.tri_norm_vmem,
+                    scene.cluster_bounds, scene.sub_bounds)
+            rec = None
+        else:
+            geom = (None, scene.tri_norm_vmem, scene.cluster_bounds, None)
+            rec = scene.cluster_records
+        cs = scene.tri_packed.shape[0] // scene.cluster_bounds.shape[0]
+        coded = scene.env_codes.shape[0] > 1
+        return frame_call(
+            *geom, scene.env_packed.reshape(-1, _LANE), scal,
+            width=cfg.width, height=cfg.height, spp=cfg.spp,
+            max_refract=cfg.max_refract_depth,
+            max_reflect=cfg.max_reflect_depth,
+            env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
+            cluster_records=rec, cluster_size=cs,
+            env_codes=scene.env_codes if coded else None,
+            env_lut=scene.env_lut if coded else None,
+            interpret=interpret, tile_stride=ndev, n_tiles_local=n_local,
+            n_tiles_real=n_tiles if n_tiles_pad != n_tiles else 0,
+        )
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _render(scene: Scene, scalars: jnp.ndarray):
+        scene = front_to_back_scene(scene, scalars[9:12])
+        r, g, b = _shard(scene, scalars)
+
+        def to_tile_order(x):
+            # Device-major rows -> global tile order: shard d's local
+            # tile j is global tile j*ndev + d.
+            x = x.reshape(ndev, n_local, _SUB, _LANE)
+            x = jnp.swapaxes(x, 0, 1)
+            return x.reshape(n_tiles_pad * _SUB, _LANE)[:n_tiles * _SUB]
+
+        rad = jnp.stack([to_tile_order(p).reshape(-1) for p in (r, g, b)],
+                        axis=-1)
+        img = untile_order(rad, h_pad, w_pad).reshape(h_pad, w_pad, 3)
+        return img[:cfg.height, :cfg.width]
+
+    def render(scene: Scene, frame) -> jnp.ndarray:
+        return _render(scene, build_scalars(frame, cfg, offsets))
+
+    return render
+
+
 def make_mesh2d(n_devices: int | None = None, sample_devs: int = 2) -> Mesh:
     """2-D ``(samples, pixels)`` mesh: ``sample_devs`` must divide the
     device count; the pixel axis gets the rest."""

@@ -119,6 +119,11 @@ def main(argv=None) -> int:
                    help="render ONE per-pixel ray-count heatmap (bounce "
                         "cost map) to PATH.png and exit (diagnostic; "
                         "uses the XLA wavefront path)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard the frame over N local devices (pixel data"
+                        " parallelism of the fused kernel; 0 = single"
+                        " device). On the pallas backend each chip renders"
+                        " a round-robin slice of the 32x32 tile grid")
     p.add_argument("--serve", type=int, metavar="PORT",
                    help="serve the orbit live over HTTP (the reference's"
                         " window, headless): open http://HOST:PORT/ in a"
@@ -162,7 +167,23 @@ def main(argv=None) -> int:
                  int(counts.max()), float(counts.mean()), args.heatmap)
         return 0
 
-    renderer = make_renderer(cfg)
+    if args.devices and args.devices > 1:
+        from refraction_tpu.ops.backends import get_backend
+        from refraction_tpu.parallel.sharding import (
+            make_fused_sharded_renderer, make_mesh, make_sharded_renderer)
+
+        if len(jax.devices()) < args.devices:
+            p.error(f"--devices {args.devices}: only "
+                    f"{len(jax.devices())} devices visible "
+                    f"({jax.devices()})")
+        mesh = make_mesh(args.devices)
+        if get_backend(cfg.backend, cfg.cluster_size).name == "pallas":
+            renderer = make_fused_sharded_renderer(cfg, mesh)
+        else:
+            renderer = make_sharded_renderer(cfg, mesh)
+        log.info("pixel-DP over %d devices", args.devices)
+    else:
+        renderer = make_renderer(cfg)
 
     acc = None
     if args.accumulate:

@@ -120,6 +120,28 @@ def test_trisharded_intersect_matches(sphere_scene):
     np.testing.assert_allclose(t1[m], t2[m], rtol=1e-6)
 
 
+@pytest.mark.parametrize("w,h", [(128, 64), (96, 64)])
+def test_fused_sharded_matches_fused_single(sphere_scene, small_cfg, w, h):
+    """The PRODUCTION whole-frame fused kernel under shard_map pixel DP
+    (make_fused_sharded_renderer) matches the single-device fused render.
+    96x64 exercises the tile-count round-up padding (6 tiles over 8
+    devices -> 2 gated pad tiles); 128x64 divides evenly (8 tiles)."""
+    from refraction_tpu.kernels.framekernel import render_frame_fused
+    from refraction_tpu.parallel.sharding import make_fused_sharded_renderer
+
+    scene, _ = sphere_scene
+    cfg = small_cfg.replace(width=w, height=h, backend="xla")
+    frame = orbit_camera(0.6, cfg)
+    single = np.asarray(render_frame_fused(scene, frame, cfg, interpret=True))
+    sharded = np.asarray(
+        make_fused_sharded_renderer(cfg, make_mesh(8), interpret=True)(
+            scene, frame))
+    assert sharded.shape == single.shape
+    # Identical per-tile programs on identical data — only the output
+    # assembly differs; agreement is to the bit on CPU interpret mode.
+    np.testing.assert_allclose(single, sharded, rtol=0, atol=1e-7)
+
+
 def test_mega_in_shard_map(sphere_scene, small_cfg):
     """The fused megakernel runs under shard_map (the multi-chip config)
     and matches the single-device modular path."""
