@@ -177,6 +177,59 @@ def test_80k_tri_synthetic_streamed_on_hardware():
     assert rmse(img, ref) < RMSE_TOL
 
 
+def test_strided_tile_grid_matches_single_compiled(sphere_scene):
+    """The multi-device fused path's kernel contract, compiled on ONE
+    chip: two tile_stride=2 half-grids (shard bases 0/1, with a gated
+    round-up pad tile) must reassemble bit-exactly into the plain
+    single-call frame. This is exactly what each shard of
+    parallel.sharding.make_fused_sharded_renderer executes on a real
+    multi-chip slice (there, base = axis_index)."""
+    import jax.numpy as jnp
+
+    from refraction_tpu.kernels.framekernel import (
+        build_scalars, frame_call, front_to_back_scene)
+    from refraction_tpu.render import sample_offsets
+
+    cfg = _cfg(width=96, height=96, max_refract_depth=3)  # 3x3 = 9 tiles
+    frame = orbit_camera(0.5, cfg)
+    scene = front_to_back_scene(sphere_scene, frame.origin)
+    scal = build_scalars(frame, cfg, sample_offsets(cfg.spp))
+    geom = (scene.tri_packed, scene.tri_norm_vmem,
+            scene.cluster_bounds, scene.sub_bounds)
+    coded = scene.env_codes.shape[0] > 1
+    kw = dict(
+        width=cfg.width, height=cfg.height, spp=cfg.spp,
+        max_refract=cfg.max_refract_depth,
+        max_reflect=cfg.max_reflect_depth,
+        env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
+        cluster_size=scene.tri_packed.shape[0]
+        // scene.cluster_bounds.shape[0],
+        env_codes=scene.env_codes if coded else None,
+        env_lut=scene.env_lut if coded else None,
+    )
+    env_flat = scene.env_packed.reshape(-1, 128)
+
+    single = frame_call(*geom, env_flat, scal, **kw)
+    n_tiles, n_local = 9, 5  # 9 tiles pad to 10 over 2 shards
+    parts = []
+    for base in (0, 1):
+        scal_b = jnp.concatenate(
+            [scal, jnp.asarray([float(base)], jnp.float32)])
+        parts.append(frame_call(
+            *geom, env_flat, scal_b, tile_stride=2,
+            n_tiles_local=n_local, n_tiles_real=n_tiles, **kw))
+    for c in range(3):
+        want = np.asarray(single[c])  # (9*8, 128)
+        got = np.zeros((2 * n_local * 8, 128), np.float32)
+        for d in (0, 1):
+            p = np.asarray(parts[d][c]).reshape(n_local, 8, 128)
+            for j in range(n_local):
+                got[(j * 2 + d) * 8:(j * 2 + d + 1) * 8] = p[j]
+        np.testing.assert_array_equal(got[:n_tiles * 8], want)
+        # The round-up pad tile (global id 9, shard 1) is gated off.
+        assert (got[n_tiles * 8:] == 0).all()
+
+
 def test_median_ordering_matches_oracle(monkeypatch):
     """RRT_CURVE=median (cascaded kd-style split) through the compiled
     kernel: the ordering changes cluster/subcluster layout and gating
