@@ -52,6 +52,18 @@ from refraction_tpu.kernels.intersect_pallas import (
 # across the map and the gating pays for itself (ott 76.2 vs 78.1 ms).
 _ENV_PATH = os.environ.get("RRT_ENV_PATH", "auto")
 
+# Batched-slot rounds (RRT_SLOT_BATCH=1): trace a whole w-slot bounce
+# round as ONE (w*8, 128) traversal instead of a rolled per-slot loop.
+# The per-box gate reductions, per-visit scalar trips, and (streaming)
+# cluster-record DMAs are paid once per round instead of once per live
+# slot; the cost is that every visited candidate runs vector math over
+# all w slots' rows even when some slots are dead (per-lane predicates
+# make the results bit-identical either way — a dead or non-overlapping
+# lane can never accept a candidate). Wins when >=2 slots are live with
+# overlapping cluster visits (deep dielectric trees); measured per scene
+# before flipping any default.
+_SLOT_BATCH = os.environ.get("RRT_SLOT_BATCH", "0") != "0"
+
 TILE_H = 32
 TILE_W = 32
 
@@ -200,6 +212,9 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                     _slot_round(jnp.int32(0), w_slots, tmin, tmax, is_last,
                                 spawn_reflect, alive_known=(count == 0),
                                 count=count)
+                elif _SLOT_BATCH:
+                    _batched_body(w_slots, tmin, tmax, is_last,
+                                  spawn_reflect, count)
                 else:
                     # Rolled (not unrolled) slot loop: one traversal body
                     # per ROUND instead of one per slot — the statically
@@ -279,7 +294,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                       any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
                       num_supers=n_supers)
 
-        t = best_t[:]
+        t = best_t[0:_SUB, :]
         hit = (t < tmax) & alive
         miss = alive & ~hit
 
@@ -313,7 +328,9 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
 
         # Hit shading (RayTracing.hlsl:79-123) — identical math to
         # megakernel._mega_kernel, but children stay in the VMEM pool.
-        nx_, ny_, nz_ = best_nx[:], best_ny[:], best_nz[:]
+        nx_ = best_nx[0:_SUB, :]
+        ny_ = best_ny[0:_SUB, :]
+        nz_ = best_nz[0:_SUB, :]
         nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
         inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
         npx = nx_ * inv_nlen
@@ -370,6 +387,116 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
             p_dz[r2, :] = jnp.where(hit, sz_ * sinv, 0.0)
             # Liveness is the explicit hit mask (spawned on EVERY hit,
             # even under TIR — RayTracing.hlsl:110).
+            p_cull[r2, :] = jnp.where(hit, cu, 0.0)
+            p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
+
+    def _batched_body(w_slots, tmin, tmax, is_last, spawn_reflect, count):
+        """RRT_SLOT_BATCH round: the whole w-slot front as ONE (w*8, 128)
+        traversal. Identical per-lane math to the per-slot path (_slot_
+        body) — union gating only adds candidate tests that each lane's
+        own predicates reject — so the output is bit-identical; what
+        changes is the cost split (one set of gate reductions / scalar
+        trips / record DMAs per round, vector work over all w slots'
+        rows). Env miss shading stays per slot (a batched union-window
+        env scan measured ~10 ms/frame slower) and dead slots skip it on
+        their scalar flag."""
+        R = w_slots * _SUB
+        r = pl.ds(0, R)
+        cu = p_cull[r, :]
+        o_x, o_y, o_z = p_ox[r, :], p_oy[r, :], p_oz[r, :]
+        d_x, d_y, d_z = p_dx[r, :], p_dy[r, :], p_dz[r, :]
+        w = p_wgt[r, :]
+        alive = cu != 0.0
+
+        traverse_tile(tmin, tmax, num_clusters, cluster_size,
+                      tri_sm, None, cluster_sm, subs_sm,
+                      o_x, o_y, o_z, d_x, d_y, d_z, cu,
+                      best_t, best_i, best_nx, best_ny, best_nz,
+                      any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
+                      num_supers=n_supers)
+
+        t = best_t[0:R, :]
+        hit = (t < tmax) & alive
+        miss = alive & ~hit
+
+        miss_w = jnp.where(miss, w, 0.0)
+        env_tile = _ENV_PATH == "tile"  # batched rounds have count >= 1
+        if "noenv" not in _ABLATE:
+            for s in range(w_slots):
+                lo, hi = s * _SUB, (s + 1) * _SUB
+
+                @pl.when(flags_sm[s] != 0)
+                def _(s=s, lo=lo, hi=hi):
+                    if env_tile:
+                        er, eg, eb = env_window_tile(
+                            d_x[lo:hi], d_y[lo:hi], d_z[lo:hi],
+                            miss_w[lo:hi] > 0.0, env_ref,
+                            env_h, env_w, env_rows)
+                        rad_r[:] = rad_r[:] + miss_w[lo:hi] * er
+                        rad_g[:] = rad_g[:] + miss_w[lo:hi] * eg
+                        rad_b[:] = rad_b[:] + miss_w[lo:hi] * eb
+                    else:
+                        env_window_accumulate(
+                            d_x[lo:hi], d_y[lo:hi], d_z[lo:hi],
+                            miss_w[lo:hi], env_ref, env_h, env_w,
+                            env_rows, rad_r, rad_g, rad_b)
+
+        if is_last:
+            return
+
+        # Hit shading — same expressions as _slot_body, over all R rows.
+        nx_, ny_, nz_ = best_nx[0:R, :], best_ny[0:R, :], best_nz[0:R, :]
+        nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
+        inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
+        npx = nx_ * inv_nlen
+        npy = ny_ * inv_nlen
+        npz = nz_ * inv_nlen
+
+        dot_dn = d_x * npx + d_y * npy + d_z * npz
+        base = 1.0 - dot_dn
+        b2 = base * base
+        fres = (r0 * (1.0 - r0)) * b2 * b2 * base
+
+        hpx = jnp.where(hit, o_x + t * d_x, o_x)
+        hpy = jnp.where(hit, o_y + t * d_y, o_y)
+        hpz = jnp.where(hit, o_z + t * d_z, o_z)
+
+        eta = jnp.where(cu > 0.0, 1.0 / ior, ior)
+        k = 1.0 - eta * eta * (1.0 - dot_dn * dot_dn)
+        refr_ok = k >= 0.0
+        coef = eta * dot_dn + jnp.sqrt(jnp.maximum(k, 0.0))
+        rx = eta * d_x - coef * npx
+        ry = eta * d_y - coef * npy
+        rz = eta * d_z - coef * npz
+        rinv = jax.lax.rsqrt(
+            jnp.maximum(rx * rx + ry * ry + rz * rz, jnp.float32(1e-30)))
+        f_alive = hit & refr_ok
+
+        p_ox[r, :] = hpx
+        p_oy[r, :] = hpy
+        p_oz[r, :] = hpz
+        p_dx[r, :] = jnp.where(f_alive, rx * rinv, 0.0)
+        p_dy[r, :] = jnp.where(f_alive, ry * rinv, 1.0)
+        p_dz[r, :] = jnp.where(f_alive, rz * rinv, 0.0)
+        p_cull[r, :] = jnp.where(f_alive, -cu, 0.0)
+        p_wgt[r, :] = jnp.where(f_alive, w * (1.0 - fres), 0.0)
+
+        if spawn_reflect:
+            # Reflection children of slots [0, w) land at slots
+            # [w, 2w) — rows [R, 2R), contiguous.
+            r2 = pl.ds(R, R)
+            sx_ = d_x - 2.0 * dot_dn * npx
+            sy_ = d_y - 2.0 * dot_dn * npy
+            sz_ = d_z - 2.0 * dot_dn * npz
+            sinv = jax.lax.rsqrt(
+                jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_,
+                            jnp.float32(1e-30)))
+            p_ox[r2, :] = hpx
+            p_oy[r2, :] = hpy
+            p_oz[r2, :] = hpz
+            p_dx[r2, :] = jnp.where(hit, sx_ * sinv, 0.0)
+            p_dy[r2, :] = jnp.where(hit, sy_ * sinv, 1.0)
+            p_dz[r2, :] = jnp.where(hit, sz_ * sinv, 0.0)
             p_cull[r2, :] = jnp.where(hit, cu, 0.0)
             p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
 
@@ -525,6 +652,9 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         tile_stride=tile_stride, n_tiles_real=n_tiles_real,
     )
     pool = lambda dt: pltpu.VMEM((n_slots * _SUB, _LANE), dt)  # noqa: E731
+    # Batched-slot rounds traverse the whole w-slot front at once, so the
+    # winner scratch must span the pool; per-slot mode uses one tile.
+    best_rows = n_slots * _SUB if _SLOT_BATCH else _SUB
     scratch = [
         pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
         pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
@@ -532,11 +662,11 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad r
         pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad g
         pltpu.VMEM((_SUB, _LANE), jnp.float32),  # rad b
-        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_t
-        pltpu.VMEM((_SUB, _LANE), jnp.int32),    # best_i
-        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nx
-        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_ny
-        pltpu.VMEM((_SUB, _LANE), jnp.float32),  # best_nz
+        pltpu.VMEM((best_rows, _LANE), jnp.float32),  # best_t
+        pltpu.VMEM((best_rows, _LANE), jnp.int32),    # best_i
+        pltpu.VMEM((best_rows, _LANE), jnp.float32),  # best_nx
+        pltpu.VMEM((best_rows, _LANE), jnp.float32),  # best_ny
+        pltpu.VMEM((best_rows, _LANE), jnp.float32),  # best_nz
         pltpu.SMEM((n_slots,), jnp.int32),       # per-slot live flags
     ]
     coded = env_codes is not None

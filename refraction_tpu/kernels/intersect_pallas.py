@@ -202,21 +202,30 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     span of supers some live lane overlaps-and-can-improve, cutting the
     per-tile gate cost from O(C/word) to O(S/word + visited supers).
     Visit order within the scan is unchanged (ascending), so
-    tie-breaking is identical to the flat scan."""
+    tie-breaking is identical to the flat scan.
+
+    The ray tile may be R = any multiple of 8 rows (R = o_x.shape[0]);
+    the best_* scratch refs may be larger — only their first R rows are
+    used. The fused frame kernel's batched-slot mode traces a whole
+    w-slot wavefront front as one (w*8, 128) tile so the per-box gate
+    reductions and per-visit scalar trips (and, streaming, the record
+    DMAs) are paid once per ROUND instead of once per live slot."""
+    R = o_x.shape[0]
+    rr = pl.ds(0, R)  # static prefix of the (possibly larger) scratch
     alive = cu != 0.0
     defer_norms = norm_vmem is not None
 
-    best_t[:] = jnp.broadcast_to(tmax, (_SUB, _LANE))
+    best_t[rr] = jnp.broadcast_to(tmax, (R, _LANE))
     if not any_hit:
-        best_i[:] = jnp.zeros((_SUB, _LANE), jnp.int32)
-        best_nx[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+        best_i[rr] = jnp.zeros((R, _LANE), jnp.int32)
+        best_nx[rr] = jnp.zeros((R, _LANE), jnp.float32)
         # In defer mode best_ny holds winner-v until the resolve pass
         # (default normal (0,1,0) is applied there instead).
         if defer_norms:
-            best_ny[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+            best_ny[rr] = jnp.zeros((R, _LANE), jnp.float32)
         else:
-            best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
-            best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+            best_ny[rr] = jnp.ones((R, _LANE), jnp.float32)
+            best_nz[rr] = jnp.zeros((R, _LANE), jnp.float32)
 
     # Safe reciprocal directions for the conservative slab test: clamping
     # tiny components can only widen the hit interval (false positives are
@@ -258,8 +267,10 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     def _roll_tree(v, combine):
         for s in (64, 32, 16, 8, 4, 2, 1):
             v = combine(v, pltpu.roll(v, s, axis=1))
-        for s in (4, 2, 1):
+        s = v.shape[0] // 2
+        while s >= 1:
             v = combine(v, pltpu.roll(v, s, axis=0))
+            s //= 2
         return v[0, 0]
 
     def or_reduce_scalar(bits):
@@ -288,8 +299,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
         def group_body(g, _):
             rel0 = g * bits_per_word
-            bits = jnp.zeros((_SUB, _LANE), jnp.int32)
-            cur_best = best_t[:]
+            bits = jnp.zeros((R, _LANE), jnp.int32)
+            cur_best = best_t[rr]
             for b in range(min(bits_per_word, count)):
                 rel = rel0 + b
                 idx = start + jnp.minimum(rel, count - 1)
@@ -449,26 +460,26 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
         def visit_sub(sl):
             if any_hit:
-                best = (best_t[:],)
+                best = (best_t[rr],)
             elif defer_norms:
                 # best_nx/best_ny double as winner-u / winner-v storage
                 # until the resolve pass overwrites them with normals.
-                best = (best_t[:], best_i[:], best_nx[:], best_ny[:])
+                best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr])
             else:
-                best = (best_t[:], best_i[:], best_nx[:], best_ny[:],
-                        best_nz[:])
+                best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr],
+                        best_nz[rr])
             for k in range(SUB_TRIS):
                 tl = sl * SUB_TRIS + k
                 best = tri_body(ci * cluster_size + tl,
                                 tref, tri_base + tl * 9,
                                 nref, norm_base + tl * 9, best)
-            best_t[:] = best[0]
+            best_t[rr] = best[0]
             if not any_hit:
-                best_i[:] = best[1]
-                best_nx[:] = best[2]
-                best_ny[:] = best[3]
+                best_i[rr] = best[1]
+                best_nx[rr] = best[2]
+                best_ny[rr] = best[3]
                 if not defer_norms:
-                    best_nz[:] = best[4]
+                    best_nz[rr] = best[4]
 
         return visit_sub
 
@@ -534,15 +545,15 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # have used, so results are bit-identical.
     if (not any_hit) and defer_norms:
         if "nonorm" in _ABLATE:
-            best_ny[:] = jnp.ones((_SUB, _LANE), jnp.float32)
-            best_nz[:] = jnp.zeros((_SUB, _LANE), jnp.float32)
+            best_ny[rr] = jnp.ones((R, _LANE), jnp.float32)
+            best_nz[rr] = jnp.zeros((R, _LANE), jnp.float32)
             return
         rows_n = norm_vmem.shape[0] // 9
         n_all = rows_n // _SUB  # total 8-row groups in the table (static)
-        hitm = (best_t[:] < tmax) & alive
-        bi = best_i[:]
-        bu = best_nx[:]
-        bv = best_ny[:]
+        hitm = (best_t[rr] < tmax) & alive
+        bi = best_i[rr]
+        bu = best_nx[rr]
+        bv = best_ny[rr]
         q = bi // _LANE
         r = bi % _LANE
 
@@ -557,7 +568,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 mj = hitm & (brow == j)
                 g = [
                     jnp.take_along_axis(
-                        jnp.broadcast_to(t[j:j + 1, :], (_SUB, _LANE)),
+                        jnp.broadcast_to(t[j:j + 1, :], (R, _LANE)),
                         r, axis=1)
                     for t in tiles
                 ]
@@ -566,9 +577,9 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 nz = jnp.where(mj, g[2] + bu * g[5] + bv * g[8], nz)
             return nx, ny, nz
 
-        accs0 = (jnp.zeros((_SUB, _LANE), jnp.float32),
-                 jnp.ones((_SUB, _LANE), jnp.float32),
-                 jnp.zeros((_SUB, _LANE), jnp.float32))
+        accs0 = (jnp.zeros((R, _LANE), jnp.float32),
+                 jnp.ones((R, _LANE), jnp.float32),
+                 jnp.zeros((R, _LANE), jnp.float32))
         if n_all <= 2:
             # Statically tiny table (<=2048 tris): scan it whole — no
             # window reductions, no dynamic loop bound, zero stalls.
@@ -585,9 +596,9 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             nx, ny, nz = jax.lax.fori_loop(
                 0, n_groups,
                 lambda i, a: _norm_group(g0 + i * _SUB, a), accs0)
-        best_nx[:] = nx
-        best_ny[:] = ny
-        best_nz[:] = nz
+        best_nx[rr] = nx
+        best_ny[rr] = ny
+        best_nz[rr] = nz
 
 
 def _pad_rays(x, n_pad):

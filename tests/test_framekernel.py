@@ -115,6 +115,33 @@ def test_renderer_routes_fused(sphere_scene, monkeypatch):
     assert _rmse(img, ref2) < 1e-5
 
 
+@pytest.mark.parametrize("streamed", [False, True])
+def test_slot_batch_bit_parity(sphere_scene, streamed):
+    """RRT_SLOT_BATCH=1 (whole w-slot rounds as one (w*8,128) traversal)
+    must be BIT-identical to the per-slot rolled loop: union gating only
+    adds candidate tests each lane's own predicates reject (overlap,
+    improvability, cull side, liveness), so no winner can change."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+    saved = fk._SLOT_BATCH
+    try:
+        fk._SLOT_BATCH = False
+        fk.frame_call.clear_cache()
+        a = np.asarray(render_frame_fused(
+            sphere_scene, frame, cfg, interpret=True, streamed=streamed))
+        fk._SLOT_BATCH = True
+        fk.frame_call.clear_cache()
+        b = np.asarray(render_frame_fused(
+            sphere_scene, frame, cfg, interpret=True, streamed=streamed))
+    finally:
+        fk._SLOT_BATCH = saved
+        fk.frame_call.clear_cache()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_streamed_matches_resident(sphere_scene):
     """HBM-record streaming traversal (the size-agnostic path) is
     bit-identical to the SMEM-resident path; also covers DMA issue/wait
