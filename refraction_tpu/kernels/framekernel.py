@@ -64,8 +64,9 @@ _ENV_PATH = os.environ.get("RRT_ENV_PATH", "auto")
 # before flipping any default.
 _SLOT_BATCH = os.environ.get("RRT_SLOT_BATCH", "0") != "0"
 
-TILE_H = 32
-TILE_W = 32
+from refraction_tpu.utils.tileshape import tile_shape
+
+TILE_H, TILE_W = tile_shape()
 
 # scalars_sm layout (raygen + shading constants; jitter offsets follow):
 # [0:9]   proj_inv rows 0..2 of columns (0, 1, 3)  (camera.py:126-130)

@@ -24,20 +24,24 @@ from refraction_tpu.ops.backends import get_backend
 from refraction_tpu.scene import Scene
 
 
-TILE_H = 32
-TILE_W = 32
+from refraction_tpu.utils.tileshape import tile_shape
+
+TILE_H, TILE_W = tile_shape()
 
 
 def tile_order(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Permute flat row-major pixel data (N, ...) into 32x32-tile order.
+    """Permute flat row-major pixel data (N, ...) into TILE_HxTILE_W-tile
+    order (default 32x32; RRT_TILE sweeps the aspect, utils/tileshape.py).
 
-    Each 1024-ray kernel block then covers a square *image tile* instead of
-    half a scanline: alive lanes (object pixels) concentrate into fewer
-    blocks and every block's rays span the tightest possible angular
-    window, which is what the cluster-skip and envmap-window kernels key
-    on (square beats an 8x128 sliver: same area, ~4x smaller frustum
-    diameter). Pure reshape/transpose — no gather. Requires height and
-    width divisible by the tile dims (render pads first).
+    Each 1024-ray kernel block then covers a compact *image tile* instead
+    of half a scanline: alive lanes (object pixels) concentrate into fewer
+    blocks and every block's rays span a tight angular window, which is
+    what the cluster-skip and envmap-window kernels key on (the square
+    default has the smallest frustum DIAMETER; shorter-wider tiles trade
+    frustum width for a smaller vertical span, which is what the env
+    window scan keys on — measure per scene). Pure reshape/transpose — no
+    gather. Requires height and width divisible by the tile dims (render
+    pads first).
     """
     rest = x.shape[1:]
     x = x.reshape(height // TILE_H, TILE_H, width // TILE_W, TILE_W, *rest)
