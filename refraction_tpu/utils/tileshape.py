@@ -11,6 +11,12 @@ entirely by the iy (vertical) span — so shorter tiles shrink the scan
 while widening the traversal frustum. Which effect wins is scene-
 dependent and must be measured on device (tools/tilesweep.py).
 
+Measured (monkey 1080p 4-bounce, v5e device medians): 32x32 17.3 ms,
+16x64 18.2, 8x128 21.0 — the square default's tighter frustum beats the
+env-window savings (the primary window is already only ~2.2 scan groups
+per tile), so 32x32 stands; the knob remains for atypical scenes
+(sky-dominated frames, very tall envmaps).
+
 ``RRT_TILE`` is "HxW" (e.g. ``RRT_TILE=16x64``); H*W must equal 1024 so
 one tile stays one kernel block. Output is bit-identical across shapes:
 tiling is a pure permutation that ``untile_order`` inverts, and per-lane
