@@ -170,12 +170,15 @@ def device_kernel_ms(render, scene, cfg, n=4):
     return min(durs) if durs else None
 
 
-def _batched_dispatch_dt(scene, cfg, n_bursts=4, batch=8):
+def _batched_dispatch_dt(scene, cfg, n_bursts=4, batch=32):
     """Per-frame seconds in the batched-dispatch regime: ``batch`` fused
     frame kernels per jit call, each batch returning ONE scalar checksum
     computed inside the program so the host fetch of batch k-1 is a pure
     D2H of a ready buffer that overlaps batch k's execution (2-deep
-    pipeline of batches)."""
+    pipeline of batches). Batch-size sweep on device (monkey 1080p
+    4-bounce): 8 -> 18.96 ms/frame, 16 -> 18.11, 32 -> 17.92 (vs 17.3 ms
+    of pure frame_call device time — the residue includes the per-frame
+    front-to-back permutation prelude, device work outside frame_call)."""
     from refraction_tpu.kernels.framekernel import build_scalars, frame_call
     from refraction_tpu.render import sample_offsets
 
