@@ -827,14 +827,19 @@ def fits_smem(scene) -> bool:
     return n * 4 <= SMEM_TABLE_BUDGET
 
 
-def render_frame_fused(scene, frame, cfg, interpret: bool = False,
-                       streamed: bool | None = None):
-    """(scene, CameraFrame, cfg) -> (H, W, 3) linear radiance image."""
-    from refraction_tpu.render import sample_offsets, untile_order
+def fused_radiance(scene, scalars, cfg, interpret: bool = False,
+                   streamed: bool | None = None):
+    """(scene, scalar vector, cfg) -> (H, W, 3) linear radiance image.
 
-    offsets = sample_offsets(cfg.spp)
-    scalars = build_scalars(frame, cfg, offsets)
-    scene = front_to_back_scene(scene, frame.origin)
+    The single shared fused-kernel frame dispatch — front-to-back cluster
+    order, geometry/env operand selection, frame_call, untile + crop —
+    used by both render_frame_fused (frame-object entry) and
+    render.make_renderer's jitted path, so the frame_call operand
+    contract lives in ONE place. jit-traceable (the camera rides in
+    ``scalars``; origin is scalars[9:12])."""
+    from refraction_tpu.render import untile_order
+
+    scene = front_to_back_scene(scene, scalars[9:12])
     env_h, env_w = scene.envmap.shape[0], scene.envmap.shape[1]
     env_flat = scene.env_packed.reshape(-1, _LANE)
     if streamed is None:
@@ -861,3 +866,12 @@ def render_frame_fused(scene, frame, cfg, interpret: bool = False,
     rad = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
     img = untile_order(rad, h_pad, w_pad).reshape(h_pad, w_pad, 3)
     return img[:cfg.height, :cfg.width]
+
+
+def render_frame_fused(scene, frame, cfg, interpret: bool = False,
+                       streamed: bool | None = None):
+    """(scene, CameraFrame, cfg) -> (H, W, 3) linear radiance image."""
+    from refraction_tpu.render import sample_offsets
+
+    scalars = build_scalars(frame, cfg, sample_offsets(cfg.spp))
+    return fused_radiance(scene, scalars, cfg, interpret, streamed)

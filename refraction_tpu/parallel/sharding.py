@@ -268,7 +268,25 @@ def make_fused_sharded_renderer(
         img = untile_order(rad, h_pad, w_pad).reshape(h_pad, w_pad, 3)
         return img[:cfg.height, :cfg.width]
 
+    _fallback = None
+
     def render(scene: Scene, frame) -> jnp.ndarray:
+        # Same envmap-VMEM-budget gate as render.make_renderer's
+        # _mega_ok: the fused kernel keeps the map in VMEM, so oversized
+        # maps route to the wavefront sharded renderer instead of
+        # crashing in Mosaic's VMEM allocator.
+        nonlocal _fallback
+        env_bytes = int(np.prod(scene.env_packed.shape)) * 4
+        if env_bytes > 8 * 2 ** 20:
+            if _fallback is None:
+                import logging
+
+                logging.getLogger("refraction_tpu").warning(
+                    "envmap %.1f MB exceeds the fused kernel's VMEM "
+                    "budget; --devices falls back to the wavefront "
+                    "sharded renderer", env_bytes / 2 ** 20)
+                _fallback = make_sharded_renderer(cfg, mesh)
+            return _fallback(scene, frame)
         return _render(scene, build_scalars(frame, cfg, offsets))
 
     return render

@@ -62,13 +62,19 @@ def sample_offsets(spp: int) -> np.ndarray:
 
     spp=1 reproduces the reference's pixel centers (RayTracing.hlsl:29).
     Square spp uses a k x k grid (BASELINE config 5: 4x supersampling =
-    2x2); otherwise the first spp cells of the next square grid.
+    2x2); otherwise the first spp cells of the next square grid,
+    recentered so the mean sample sits at the pixel center (the raw
+    prefix is biased toward the top-left — spp=2 would put both samples
+    at y=0.25 and shift the whole image ~0.25px vertically vs spp=1/4).
     """
     if spp == 1:
         return np.array([[0.5, 0.5]], np.float32)
     k = math.ceil(math.sqrt(spp))
     cells = [((i + 0.5) / k, (j + 0.5) / k) for j in range(k) for i in range(k)]
-    return np.asarray(cells[:spp], np.float32)
+    off = np.asarray(cells[:spp], np.float32)
+    if k * k != spp:
+        off = off + (np.float32(0.5) - off.mean(axis=0, dtype=np.float32))
+    return off
 
 
 def make_renderer(
@@ -98,45 +104,15 @@ def make_renderer(
         # Pallas call (kernels/framekernel.py) — the TPU analogue of the
         # reference's single DispatchRays (RefractionDemo.cpp:589-594).
         from refraction_tpu.kernels.framekernel import (
-            build_scalars, fits_smem, frame_call, front_to_back_scene)
-
-        h_pad_f = ((cfg.height + TILE_H - 1) // TILE_H) * TILE_H
-        w_pad_f = ((cfg.width + TILE_W - 1) // TILE_W) * TILE_W
+            build_scalars, fused_radiance)
 
         @jax.jit
         def _render_fused(scene: Scene, scalars: jnp.ndarray):
-            # Per-frame front-to-back cluster order (tiny argsort + block
-            # gathers, fused into the frame program; see framekernel.py).
-            scene = front_to_back_scene(scene, scalars[9:12])
-            if fits_smem(scene):  # shape-derived: resolved at trace time
-                geom = (scene.tri_packed, scene.tri_norm_vmem,
-                        scene.cluster_bounds, scene.sub_bounds)
-                rec = None
-            else:
-                # Size-agnostic streaming path: triangle data stays in HBM
-                # and visited clusters DMA into an SMEM ring (normals
-                # resolve from the VMEM gather table in both modes).
-                geom = (None, scene.tri_norm_vmem, scene.cluster_bounds,
-                        None)
-                rec = scene.cluster_records
-            cs = (scene.tri_packed.shape[0]
-                  // scene.cluster_bounds.shape[0])
-            coded = scene.env_codes.shape[0] > 1  # static (shape-derived)
-            r, g, b = frame_call(
-                *geom,
-                scene.env_packed.reshape(-1, 128), scalars,
-                width=cfg.width, height=cfg.height, spp=cfg.spp,
-                max_refract=cfg.max_refract_depth,
-                max_reflect=cfg.max_reflect_depth,
-                env_h=scene.envmap.shape[0], env_w=scene.envmap.shape[1],
-                cluster_records=rec, cluster_size=cs,
-                env_codes=scene.env_codes if coded else None,
-                env_lut=scene.env_lut if coded else None,
-            )
-            rad = jnp.stack(
-                [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-            img = untile_order(rad, h_pad_f, w_pad_f)
-            return img.reshape(h_pad_f, w_pad_f, 3)[:cfg.height, :cfg.width]
+            # One shared dispatch (framekernel.fused_radiance): per-frame
+            # front-to-back cluster order, geometry/env operand selection
+            # (SMEM-resident vs HBM-streamed is shape-derived), kernel
+            # call, untile + crop.
+            return fused_radiance(scene, scalars, cfg)
 
         def render_fused(scene: Scene, frame: CameraFrame) -> jnp.ndarray:
             return _render_fused(scene, build_scalars(frame, cfg, offsets))

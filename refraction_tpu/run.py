@@ -131,6 +131,9 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     setup_logging()
+    out_dir = os.path.dirname(args.out)
+    if out_dir:  # --out help: "or a directory/prefix for --frames>1"
+        os.makedirs(out_dir, exist_ok=True)
     cfg = build_config(args)
 
     import jax
@@ -146,8 +149,24 @@ def main(argv=None) -> int:
     if args.mtl_ior:
         from refraction_tpu.io.mtl import ior_for_scene
 
-        cfg = cfg.replace(ior=ior_for_scene(cfg.scene_path, cfg.ior))
-        log.info("IOR from MTL: %.4g", cfg.ior)
+        ior_src = cfg.scene_path
+        if args.instances:
+            # --mtl-ior applies to the scene actually rendered: take Ni
+            # from the FIRST instance's .mtl (paths resolve like
+            # scene.load_instanced: as given, else under the asset dir).
+            import json as _json
+
+            with open(args.instances) as f:
+                spec = _json.load(f)
+            if isinstance(spec, dict):
+                spec = spec["instances"]
+            if spec:
+                ior_src = spec[0]["obj"]
+                if not os.path.exists(ior_src):
+                    ior_src = os.path.join(
+                        os.path.dirname(cfg.scene_path), spec[0]["obj"])
+        cfg = cfg.replace(ior=ior_for_scene(ior_src, cfg.ior))
+        log.info("IOR from MTL (%s): %.4g", ior_src, cfg.ior)
 
     if args.instances:
         scene, meta = load_instanced(args.instances, cfg)
@@ -221,8 +240,9 @@ def main(argv=None) -> int:
             if acc is not None:
                 acc.add(host)
             return host
-        if serve is not None:
-            return None  # live view only: no per-frame files
+        if serve is not None and not args.raw:
+            return None  # live view only: no per-frame files unless the
+            #               user explicitly asked for them (--raw)
         # --frames>1 without --accumulate: per-frame outputs.
         base, ext = os.path.splitext(args.out)
         write_png(f"{base}_{idx:04d}{ext or '.png'}",

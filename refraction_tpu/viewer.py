@@ -42,7 +42,11 @@ async function tick() {
     const r = await fetch('/frame?x=' + Math.random());
     const id = r.headers.get('X-Frame-Id');
     const b = await r.blob();
-    if (id != last) { img.src = URL.createObjectURL(b); last = id; }
+    if (id != last) {
+      const url = URL.createObjectURL(b);
+      if (img.src.startsWith('blob:')) URL.revokeObjectURL(img.src);
+      img.src = url; last = id;  // revoke the old blob or the tab leaks
+    }
     const st = await (await fetch('/stats')).json();
     s.textContent = JSON.stringify(st);
   } catch (e) {}
