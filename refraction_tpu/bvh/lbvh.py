@@ -14,10 +14,14 @@ equivalent, designed TPU-first:
   divergence — and the whole hierarchy is two (2L-1, 3) arrays.
 - **Traversal** is a lax.while_loop over a per-ray explicit stack
   (vmap-batched). Every lane steps in lock-step and node fetches are
-  gathers, which is why the *cluster kernel* (kernels/intersect_pallas.py)
-  remains the production fast path for replicate-able scenes; the BVH is
-  the asymptotically-scaling backend (huge scenes, sparse ray sets) and a
-  second traversal oracle for property tests (BVH == brute force).
+  XLA gathers — far too slow to ever be a production path on TPU. This
+  module is a *traversal oracle*: a second, structurally independent
+  implementation for property tests (BVH == brute force == cluster scan)
+  and an XLA-only fallback where Pallas is unavailable. The production
+  path for every scene size is the cluster kernel
+  (kernels/intersect_pallas.py) — SMEM-resident tables for small scenes
+  and the HBM-streaming DMA ring for large ones (no triangle-count
+  cliff; tested to 81,920 tris on hardware).
 
 Quality note: fixed topology over Morton order gives slightly looser
 boxes than surface-area-heuristic builds, but identical *results* —

@@ -557,7 +557,8 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
                env_codes=None, env_lut=None,
                tile_stride=1, n_tiles_local=None, n_tiles_real=0):
     """Render one frame fully on-device; returns (r, g, b) tile-order
-    (rows, 128) radiance planes for an image padded to whole 32x32 tiles.
+    (rows, 128) radiance planes for an image padded to whole
+    TILE_H x TILE_W tiles (default 32x32, RRT_TILE).
 
     ``scalars`` is the flat float32 vector described at the top of this
     module (camera + limits + jitter). width/height are the *unpadded*

@@ -130,6 +130,47 @@ def render_frames_distributed(cfg, n_frames: int, out_dir: str | None,
     }
 
 
+def render_fused_dp_distributed(cfg, angle: float, scene=None,
+                                interpret: bool | None = None) -> dict:
+    """Render ONE frame with the production fused kernel pixel-DP'd over
+    a mesh spanning ALL processes' devices (the multi-host analogue of
+    ``run.py --devices N``).
+
+    Unlike render_frames_distributed (whole frames per host, stats-only
+    DCN), here every device — across processes — renders a round-robin
+    slice of the tile grid and the image assembles through the output
+    collective (all_gather over gloo on CPU, ICI/DCN on TPU). Each
+    process also renders the same frame single-device and asserts the
+    distributed image is IDENTICAL — the same bit-parity contract the
+    virtual-mesh and hardware strided-grid tests pin in-process
+    (tests/test_sharding.py, tests_tpu strided-grid)."""
+    import hashlib
+
+    import jax
+
+    from refraction_tpu.camera import orbit_camera
+    from refraction_tpu.kernels.framekernel import render_frame_fused
+    from refraction_tpu.parallel.sharding import (
+        make_fused_sharded_renderer, make_mesh)
+    from refraction_tpu.scene import scene_to_device
+
+    if interpret is None:  # Pallas compiles only on TPU; interpret on CPU
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    scene = scene_to_device(scene)
+    mesh = make_mesh(len(jax.devices()))  # the GLOBAL device set
+    render = make_fused_sharded_renderer(cfg, mesh, interpret=interpret)
+    frame = orbit_camera(angle, cfg)
+    img = np.asarray(render(scene, frame))  # replicated -> host-readable
+    ref = np.asarray(render_frame_fused(scene, frame, cfg,
+                                        interpret=interpret))
+    return {
+        "devices_global": len(jax.devices()),
+        "sha256": hashlib.sha256(img.tobytes()).hexdigest(),
+        "matches_single_device": bool(np.array_equal(img, ref)),
+        "mean": float(img.mean()),
+    }
+
+
 def _main() -> None:
     ap = argparse.ArgumentParser(
         description="multi-host offline orbit render (one invocation "
@@ -145,6 +186,10 @@ def _main() -> None:
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=192)
     ap.add_argument("--out", default=None, help="PNG output directory")
+    ap.add_argument("--fused-dp", action="store_true",
+                    help="instead of frame sharding, pixel-DP ONE frame's "
+                         "fused kernel over every process's devices and "
+                         "assert bit-parity with a single-device render")
     args = ap.parse_args()
 
     init_distributed(args.coordinator, args.num_processes, args.process_id)
@@ -167,9 +212,17 @@ def _main() -> None:
                                make_gradient_envmap(64, 128),
                                cluster_size=32)
 
-    stats = render_frames_distributed(
-        cfg, args.frames, args.out, args.process_id, args.num_processes,
-        scene=scene)
+    if args.fused_dp:
+        if scene is None:
+            from refraction_tpu.scene import load_scene
+
+            scene, _ = load_scene(cfg)
+        cfg = cfg.replace(backend="pallas")
+        stats = render_fused_dp_distributed(cfg, angle=0.35, scene=scene)
+    else:
+        stats = render_frames_distributed(
+            cfg, args.frames, args.out, args.process_id,
+            args.num_processes, scene=scene)
     import json
 
     print(json.dumps({"process_id": args.process_id, **stats}), flush=True)

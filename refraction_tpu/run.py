@@ -31,11 +31,15 @@ from refraction_tpu.scene import load_instanced, load_scene, scene_to_device
 from refraction_tpu.utils.stats import FrameStats, log, setup_logging
 
 
-def tonemap(img: np.ndarray) -> np.ndarray:
-    """Display transform: clamp + gamma 2.2 (the reference renders into an
-    8-bit UNORM target, RefractionDemo.cpp:430, i.e. a plain clamp; we add
-    gamma so linear radiance looks right in a PNG viewer)."""
-    return np.clip(np.asarray(img), 0.0, 1.0) ** (1.0 / 2.2)
+def tonemap(img: np.ndarray, linear: bool = False) -> np.ndarray:
+    """Display transform. Default: clamp + gamma 2.2 (linear radiance looks
+    right in a PNG viewer). ``linear=True`` is the exact reference display
+    transform — clamp only: the reference presents clamped *linear*
+    radiance into an R8G8B8A8_UNORM target with no gamma
+    (RefractionDemo.cpp:430, copy to backbuffer at :596-604), so a
+    ``--linear`` PNG is pixel-comparable to the reference's window."""
+    clamped = np.clip(np.asarray(img), 0.0, 1.0)
+    return clamped if linear else clamped ** (1.0 / 2.2)
 
 
 def build_config(args) -> RenderConfig:
@@ -111,6 +115,11 @@ def main(argv=None) -> int:
     p.add_argument("--raw", action="store_true",
                    help="also save linear radiance .npy (per frame when"
                         " --frames>1 without --accumulate)")
+    p.add_argument("--linear", action="store_true",
+                   help="display transform = clamp only (no gamma): the"
+                        " reference's exact UNORM present"
+                        " (RefractionDemo.cpp:430,596-604). Default adds"
+                        " gamma 2.2 for PNG viewing")
     p.add_argument("--instances", metavar="SPEC.json",
                    help="render N placed copies of meshes (TLAS-with-N-"
                         "instances): JSON list of {obj, translate, scale,"
@@ -123,7 +132,8 @@ def main(argv=None) -> int:
                    help="shard the frame over N local devices (pixel data"
                         " parallelism of the fused kernel; 0 = single"
                         " device). On the pallas backend each chip renders"
-                        " a round-robin slice of the 32x32 tile grid")
+                        " a round-robin slice of the TILE_HxTILE_W tile"
+                        " grid (default 32x32, RRT_TILE)")
     p.add_argument("--serve", type=int, metavar="PORT",
                    help="serve the orbit live over HTTP (the reference's"
                         " window, headless): open http://HOST:PORT/ in a"
@@ -198,9 +208,17 @@ def main(argv=None) -> int:
         mesh = make_mesh(args.devices)
         if get_backend(cfg.backend, cfg.cluster_size).name == "pallas":
             renderer = make_fused_sharded_renderer(cfg, mesh)
+            # The fused renderer self-falls-back to the wavefront path for
+            # oversized envmaps (ulp-level output differences vs fused) —
+            # surface which path is actually active in the run log.
+            env_mb = scene.env_packed.size * 4 / 2 ** 20
+            path = ("fused kernel" if env_mb <= 8.0 else
+                    f"wavefront fallback: envmap {env_mb:.1f} MB > 8 MB "
+                    "VMEM budget")
         else:
             renderer = make_sharded_renderer(cfg, mesh)
-        log.info("pixel-DP over %d devices", args.devices)
+            path = "wavefront"
+        log.info("pixel-DP over %d devices (%s)", args.devices, path)
     else:
         renderer = make_renderer(cfg)
 
@@ -219,9 +237,12 @@ def main(argv=None) -> int:
     def _to_u8(img):
         # Device-side display transform: quarters the host transfer (the
         # equivalent of the reference's R8G8B8A8_UNORM render target,
-        # RefractionDemo.cpp:430).
-        srgb = jnp.clip(img, 0.0, 1.0) ** jnp.float32(1.0 / 2.2)
-        return (srgb * 255.0 + 0.5).astype(jnp.uint8)
+        # RefractionDemo.cpp:430). --linear drops the gamma lift: clamp
+        # only, the reference's exact UNORM present.
+        disp = jnp.clip(img, 0.0, 1.0)
+        if not args.linear:
+            disp = disp ** jnp.float32(1.0 / 2.2)
+        return (disp * 255.0 + 0.5).astype(jnp.uint8)
 
     serve = None
     if args.serve is not None:
@@ -288,7 +309,7 @@ def main(argv=None) -> int:
         acc.save(os.path.splitext(args.out)[0] + "_state.npz")
     if (args.frames == 1 or acc is not None) and final is not None:
         write_png(args.out if args.out.endswith(".png") else args.out + ".png",
-                  tonemap(final))
+                  tonemap(final, linear=args.linear))
     if args.raw and final is not None:
         np.save(os.path.splitext(args.out)[0] + ".npy", final)
     log.info("done: %d frames, %.2f fps avg -> %s", stats.frames, stats.fps,

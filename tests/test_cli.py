@@ -47,6 +47,37 @@ def test_tonemap():
     y = tonemap(x)
     assert y[0, 0] == 0 and y[0, 3] == 1.0
     np.testing.assert_allclose(y[0, 2], 0.5 ** (1 / 2.2), rtol=1e-6)
+    # --linear: clamp ONLY — the reference's exact UNORM present
+    # (RefractionDemo.cpp:430,596-604; no gamma anywhere in its pipeline).
+    lin = tonemap(x, linear=True)
+    np.testing.assert_array_equal(lin, [[0.0, 0.0, 0.5, 1.0]])
+
+
+def test_cli_linear_display_parity(tmp_path):
+    """--linear PNG == the default PNG with the gamma lift removed.
+
+    The reference presents clamped linear radiance into an 8-bit UNORM
+    target (RefractionDemo.cpp:430, copy at :596-604) — no gamma. Render
+    the reference's own scene (shell.obj) once per mode with identical
+    camera/config: the two PNGs must differ ONLY by the display
+    transform, i.e. u8_linear == round(clamp(rad)*255) and
+    u8_default == round(clamp(rad)**(1/2.2)*255) for the same radiance.
+    """
+    args = ["--scene", os.path.join(REF, "shell.obj"), "--width", "64",
+            "--height", "48", "--backend", "xla", "--frames", "1"]
+    out_g = str(tmp_path / "gamma.png")
+    out_l = str(tmp_path / "linear.png")
+    assert main(args + ["--out", out_g, "--raw"]) == 0
+    assert main(args + ["--out", out_l, "--linear"]) == 0
+    rad = np.load(str(tmp_path / "gamma.npy"))  # linear radiance
+    img_g = load_png(out_g).astype(np.float32) / 255.0
+    img_l = load_png(out_l).astype(np.float32) / 255.0
+    clamped = np.clip(rad, 0.0, 1.0)
+    # write_png quantizes with round-half-up at 255 steps: 1/510 tolerance.
+    np.testing.assert_allclose(img_l, clamped, atol=1.01 / 510)
+    np.testing.assert_allclose(img_g, clamped ** (1 / 2.2), atol=1.01 / 510)
+    # and the transform actually differs where radiance is mid-range
+    assert (np.abs(img_l - img_g) > 0.05).any()
 
 
 def test_parse_mtl(tmp_path):

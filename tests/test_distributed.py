@@ -76,3 +76,47 @@ def test_two_process_frame_sharding(tmp_path):
         p.name for d in (tmp_path / "out0", tmp_path / "out1")
         if d.exists() for p in d.iterdir())
     assert got == [f"frame_{k:04d}.png" for k in range(n_frames)]
+
+
+@pytest.mark.slow
+def test_two_process_fused_dp():
+    """The PRODUCTION fused-kernel pixel-DP renderer across two real
+    processes (VERDICT round-2 item 6): each process owns one device of
+    the global 2-device mesh, renders its round-robin tile slice, and the
+    image assembles through a genuine cross-process collective. Both
+    processes must see the identical replicated image, and it must be
+    bit-equal to a single-device render of the same frame."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = ROOT
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "-m", "refraction_tpu.parallel.distributed",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--width", "64", "--height", "48", "--fused-dp"],
+            env=env, cwd=ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+    procs = [spawn(0), spawn(1)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    s0, s1 = outs
+    assert s0["devices_global"] == s1["devices_global"] == 2
+    # The sharded image crossed the process boundary identically...
+    assert s0["sha256"] == s1["sha256"]
+    assert s0["mean"] > 0
+    # ...and is bit-equal to the single-device fused render on each side.
+    assert s0["matches_single_device"] and s1["matches_single_device"]

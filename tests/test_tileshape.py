@@ -61,15 +61,14 @@ def test_tile_shape_bit_parity(tmp_path, shape):
     np.testing.assert_array_equal(ref, alt)
 
 
-def test_tile_shape_rejects_bad_spec():
+def test_tile_shape_rejects_bad_spec(monkeypatch):
     from refraction_tpu.utils.tileshape import tile_shape
 
-    os.environ["RRT_TILE"] = "16x16"  # product != 1024
-    try:
-        with pytest.raises(ValueError):
-            tile_shape()
-        os.environ["RRT_TILE"] = "banana"
-        with pytest.raises(ValueError):
-            tile_shape()
-    finally:
-        os.environ.pop("RRT_TILE", None)
+    # monkeypatch (not a finally-pop) so a user-set RRT_TILE is restored
+    # for later tests in the same process.
+    monkeypatch.setenv("RRT_TILE", "16x16")  # product != 1024
+    with pytest.raises(ValueError):
+        tile_shape()
+    monkeypatch.setenv("RRT_TILE", "banana")
+    with pytest.raises(ValueError):
+        tile_shape()

@@ -230,6 +230,41 @@ def test_strided_tile_grid_matches_single_compiled(sphere_scene):
         assert (got[n_tiles * 8:] == 0).all()
 
 
+def test_midres_committed_golden(reference_dir):
+    """Monkey at 384x256 (12x8 = 96 tiles) through the compiled fused
+    kernel vs a committed oracle artifact (tools/make_golden.py).
+
+    The per-test oracle goldens above are 96x64 — small enough that
+    tile-grid indexing or env-window-offset bugs at MANY-tile grids
+    would only surface in the (unchecked) 1080p bench render. This pins
+    multi-tile-scale per-pixel behavior (RayTracing.hlsl:42-64 contract)
+    against a fixed artifact whose sha256 guards silent regeneration."""
+    import hashlib
+    import json
+    import os
+    import os.path as osp
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+    from make_golden import GOLDEN_DIR, SPEC, golden_cfg
+
+    art = osp.join(GOLDEN_DIR, "monkey_384x256.npy")
+    meta = json.load(open(osp.join(GOLDEN_DIR, "monkey_384x256.json")))
+    digest = hashlib.sha256(open(art, "rb").read()).hexdigest()
+    assert digest == meta["sha256"], "golden artifact does not match its hash"
+    ref = np.load(art)
+    assert ref.shape == (SPEC["height"], SPEC["width"], 3)
+
+    cfg = golden_cfg(reference_dir)
+    scene, _ = load_scene(cfg)
+    scene = scene_to_device(scene)
+    img = np.asarray(
+        render_frame_fused(scene, orbit_camera(SPEC["angle"], cfg), cfg))
+    assert rmse(img, ref) < RMSE_TOL
+
+
 def test_median_ordering_matches_oracle(monkeypatch):
     """RRT_CURVE=median (cascaded kd-style split) through the compiled
     kernel: the ordering changes cluster/subcluster layout and gating
