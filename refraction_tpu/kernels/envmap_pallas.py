@@ -53,6 +53,13 @@ _SCAN_ROWS = int(os.environ.get("RRT_ENV_SCAN", "16"))
 assert 32 % _SCAN_ROWS == 0, (
     f"RRT_ENV_SCAN={_SCAN_ROWS} must divide the 32-row channel padding "
     "(scene.env_packed) or scans cross channel boundaries")
+# Occupancy-gate granularity of env_window_accumulate (rows per gated
+# group). 8 = one aligned (8,128) tile per visit. 4 halves the scanned
+# rows per visit when occupancy is sparse: loads stay 8-aligned (the
+# half-group selects its 4 rows out of the loaded tile with one extra
+# select per row).
+_ENV_SUB = int(os.environ.get("RRT_ENV_SUB", "8"))
+assert _ENV_SUB in (4, 8), f"RRT_ENV_SUB={_ENV_SUB} must be 4 or 8"
 
 
 def _sublane_steps(rows: int):
@@ -134,23 +141,62 @@ def _rgbe_decode(codes):
     return chan(0), chan(8), chan(16)
 
 
-def _env_decode(codes, lut_ref, rows):
-    """Flavor dispatch (static, shape-derived): (2,128) lut = 256-entry
-    LUT codes (8-bit-PNG sources); (1,128) = RGBE bytes (.hdr sources)."""
+def _pal_decode(codes, sh, lut_ref, rows):
+    """Decode (rows,128) int32 words holding FOUR texels' 8-bit palette
+    indices (texel f at byte f%4; ``sh`` = per-lane bit shift 8*(f%4)):
+    three channel tables of the <=256-entry RGB-triple palette live at
+    lut_ref rows 0-1 / 2-3 / 4-5. Exact — the palette holds the identical
+    f32 channel values the 3-plane layout would store."""
+    byte = jnp.bitwise_and(jnp.right_shift(codes, sh), jnp.int32(255))
+    lane = jnp.bitwise_and(byte, jnp.int32(127))
+    hi = byte >= 128
+
+    def chan(c):
+        v0 = jnp.take_along_axis(
+            jnp.broadcast_to(lut_ref[2 * c:2 * c + 1, :], (rows, _LANE)),
+            lane, axis=1)
+        v1 = jnp.take_along_axis(
+            jnp.broadcast_to(lut_ref[2 * c + 1:2 * c + 2, :], (rows, _LANE)),
+            lane, axis=1)
+        return jnp.where(hi, v1, v0)
+
+    return chan(0), chan(1), chan(2)
+
+
+def _env_decode(codes, lut_ref, rows, sh=None):
+    """Flavor dispatch (static, shape-derived): (6,128) lut = 4-texel
+    palette words (needs ``sh``); (2,128) = per-channel 256-entry LUT
+    codes (8-bit-PNG sources); (1,128) = RGBE bytes (.hdr sources)."""
+    if lut_ref.shape[0] == 6:
+        return _pal_decode(codes, sh, lut_ref, rows)
     if lut_ref.shape[0] == 2:
         return _lut_decode(codes, lut_ref, rows)
     return _rgbe_decode(codes)
 
 
-def _env_indices(x, y, z, height, width):
-    """Equirect texel address (RayTracing.hlsl:133-134): per-lane flat
-    row q = f//128 and lane r = f%128."""
+def _env_flat(x, y, z, height, width):
+    """Equirect flat texel index f = iy*W + ix (RayTracing.hlsl:133-134)."""
     pi = jnp.float32(REF_PI_ENVMAP)
     theta = width * (atan2(x, z) / pi + 1.0) / 2.0
     phi = height * (acos(jnp.clip(y, -1.0, 1.0)) / pi)
     ix = jnp.clip(theta.astype(jnp.int32), 0, width - 1)
     iy = jnp.clip(phi.astype(jnp.int32), 0, height - 1)
-    f = iy * width + ix
+    return iy * width + ix
+
+
+def _env_addr(f, packed4: bool):
+    """Per-lane storage address of texel f: row q, lane r, and (palette
+    flavor) the bit shift of its byte inside the 4-texel word."""
+    if packed4:
+        fw = jnp.right_shift(f, 2)
+        sh = jnp.left_shift(jnp.bitwise_and(f, jnp.int32(3)), 3)
+        return fw // _LANE, fw % _LANE, sh
+    return f // _LANE, f % _LANE, None
+
+
+def _env_indices(x, y, z, height, width):
+    """Uncoded-layout texel address: per-lane flat row q and lane r."""
+    f = _env_flat(x, y, z, height, width)
     return f // _LANE, f % _LANE
 
 
@@ -169,9 +215,11 @@ def env_window_tile(x, y, z, alive, env_ref,
     instead of three f32; exact LUT decode once per call). Shared by the
     standalone env kernel and the wavefront megakernels."""
     coded = isinstance(env_ref, tuple)
+    packed4 = coded and env_ref[1].shape[0] == 6
     rows = x.shape[0]
     zero = jnp.zeros((rows, _LANE), jnp.float32)
-    q, r = _env_indices(x, y, z, height, width)
+    q, r, sh = _env_addr(
+        _env_flat(x, y, z, height, width), packed4)
 
     big = jnp.int32(2 ** 30)
     q_lo = _roll_min(jnp.where(alive, q, big))
@@ -182,6 +230,12 @@ def env_window_tile(x, y, z, alive, env_ref,
     if "envnoscan" in _ABLATE:
         n_groups = jnp.int32(0)
 
+    # NOTE (both layouts): the inner row loops select on `brow == j`
+    # WITHOUT an `alive &` — a dead lane may match and gather a garbage
+    # texel, but every caller multiplies the result by a weight that is
+    # zero on dead lanes, and dead lanes are already excluded from the
+    # row window (q_lo/q_hi mask on `alive`), so they can never add
+    # visits. Dropping the mask removes one vector op per scanned row.
     if coded:
         codes_ref, lut_ref = env_ref
 
@@ -190,7 +244,7 @@ def env_window_tile(x, y, z, alive, env_ref,
             brow = q - base
             tile = codes_ref[pl.ds(base, scan), :]
             for j in range(scan):
-                mj = alive & (brow == j)
+                mj = brow == j
                 row = jnp.broadcast_to(tile[j:j + 1, :], (rows, _LANE))
                 g = jnp.take_along_axis(row, r, axis=1)
                 code_acc = jnp.where(mj, g, code_acc)
@@ -198,7 +252,7 @@ def env_window_tile(x, y, z, alive, env_ref,
 
         codes = jax.lax.fori_loop(
             0, n_groups, cgroup, jnp.zeros((rows, _LANE), jnp.int32))
-        cr, cg, cb = _env_decode(codes, lut_ref, rows)
+        cr, cg, cb = _env_decode(codes, lut_ref, rows, sh)
         return (jnp.where(alive, cr, 0.0), jnp.where(alive, cg, 0.0),
                 jnp.where(alive, cb, 0.0))
 
@@ -213,7 +267,7 @@ def env_window_tile(x, y, z, alive, env_ref,
             for c in range(n_chan)
         ]
         for j in range(scan):
-            mj = alive & (brow == j)
+            mj = brow == j
             for c, (tile, acc) in enumerate(
                 zip(tiles, (acc_r, acc_g, acc_b))
             ):
@@ -249,21 +303,52 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
     words exactly like the traversal's AABB gates
     (intersect_pallas.gated_loop): per lane ``1 << (group - word_base)``,
     one OR roll-tree reduction per word, and ``@pl.when`` skips empty
-    groups — scattered windows collapse to the occupied few."""
+    groups — scattered windows collapse to the occupied few.
+
+    The WHOLE body (index math, window reductions, word machinery) sits
+    behind one any-miss roll-max gate: a live slot-round where every ray
+    HIT (deep interior refraction chains) previously still paid the
+    atan2/acos index math + two window reductions (~100 vector ops) just
+    to find an empty window — now it pays one ~20-op reduction."""
     coded = isinstance(env_ref, tuple)
     rows = x.shape[0]
+    any_alive = _roll_max(wgt) > 0.0
+
+    @pl.when(any_alive)
+    def _accumulate():
+        _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
+                             rows_per_chan, acc_r, acc_g, acc_b, coded, rows)
+
+
+def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
+                         rows_per_chan, acc_r, acc_g, acc_b, coded, rows):
     alive = wgt > 0.0
-    q, r = _env_indices(x, y, z, height, width)
+    packed4 = coded and env_ref[1].shape[0] == 6
+    q, r, sh = _env_addr(
+        _env_flat(x, y, z, height, width), packed4)
 
     big = jnp.int32(2 ** 30)
     q_lo = _roll_min(jnp.where(alive, q, big))
     q_hi = _roll_max(jnp.where(alive, q, -1))
-    g_lo = q_lo // _SUB
-    n_groups = q_hi // _SUB - g_lo + 1  # negative when no lane is alive
+    g_lo = q_lo // _ENV_SUB
+    n_groups = q_hi // _ENV_SUB - g_lo + 1  # negative when no lane alive
     if "envnoscan" in _ABLATE:
         n_groups = jnp.int32(0)
     n_words = (n_groups + _WORD - 1) // _WORD
-    gq = q // _SUB - g_lo  # per-lane group index relative to the window
+    gq = q // _ENV_SUB - g_lo  # per-lane group index rel. to the window
+
+    def _load_rows(ref, base_rows, chan_base=0):
+        """The group's _ENV_SUB rows as (1,128) slices. Loads are always
+        8-row aligned; at _ENV_SUB=4 the half-group picks its 4 rows out
+        of the containing tile with one scalar-cond select per row."""
+        if _ENV_SUB == 8:
+            t = ref[pl.ds(chan_base + base_rows, 8), :]
+            return [t[j:j + 1, :] for j in range(8)]
+        base8 = (base_rows // 8) * 8
+        lo_half = base_rows == base8
+        t = ref[pl.ds(chan_base + base8, 8), :]
+        return [jnp.where(lo_half, t[j:j + 1, :], t[j + 4:j + 5, :])
+                for j in range(4)]
 
     def _or_reduce(bits):
         for s in (64, 32, 16, 8, 4, 2, 1):
@@ -283,12 +368,13 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
         codes_ref, lut_ref = env_ref
 
         def cvisit(g, code_acc):
-            base = (g_lo + g) * _SUB
+            base = (g_lo + g) * _ENV_SUB
             brow = q - base
-            tile = codes_ref[pl.ds(base, _SUB), :]
-            for j in range(_SUB):
-                mj = alive & (brow == j)
-                row = jnp.broadcast_to(tile[j:j + 1, :], (rows, _LANE))
+            for j, rowj in enumerate(_load_rows(codes_ref, base)):
+                # no `alive &`: see env_window_tile's layout note — dead
+                # lanes' garbage is killed by the zero weight below.
+                mj = brow == j
+                row = jnp.broadcast_to(rowj, (rows, _LANE))
                 g_ = jnp.take_along_axis(row, r, axis=1)
                 code_acc = jnp.where(mj, g_, code_acc)
             return code_acc
@@ -318,7 +404,7 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
 
         codes = jax.lax.fori_loop(
             0, n_words, cword_body, jnp.zeros((rows, _LANE), jnp.int32))
-        cr, cg, cb = _env_decode(codes, lut_ref, rows)
+        cr, cg, cb = _env_decode(codes, lut_ref, rows, sh)
         acc_r[:] = acc_r[:] + wgt * cr
         acc_g[:] = acc_g[:] + wgt * cg
         acc_b[:] = acc_b[:] + wgt * cb
@@ -327,19 +413,21 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
     n_chan = 1 if "envr" in _ABLATE else 3  # gather-cost ablation knob
 
     def visit(g):
-        base = (g_lo + g) * _SUB
+        base = (g_lo + g) * _ENV_SUB
         brow = q - base
-        tiles = [
-            env_ref[pl.ds(c * rows_per_chan + base, _SUB), :]
-            for c in range(n_chan)
-        ]
+        chans = [_load_rows(env_ref, base, c * rows_per_chan)
+                 for c in range(n_chan)]
         gr = jnp.zeros((rows, _LANE), jnp.float32)
         gg = jnp.zeros((rows, _LANE), jnp.float32)
         gb = jnp.zeros((rows, _LANE), jnp.float32)
-        for j in range(_SUB):
-            mj = alive & (brow == j)
-            for c, tile in enumerate(tiles):
-                row = jnp.broadcast_to(tile[j:j + 1, :], (rows, _LANE))
+        for j in range(_ENV_SUB):
+            # no `alive &` (dead lanes: wgt == 0 below); no hit_any mask
+            # either — g* stay zero on lanes whose texel row is outside
+            # this group, and a live lane's row is in EXACTLY one visited
+            # group, so `wgt * g*` accumulates each lane once.
+            mj = brow == j
+            for c, rows_l in enumerate(chans):
+                row = jnp.broadcast_to(rows_l[j], (rows, _LANE))
                 v = jnp.take_along_axis(row, r, axis=1)
                 if c == 0:
                     gr = jnp.where(mj, v, gr)
@@ -347,10 +435,9 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
                     gg = jnp.where(mj, v, gg)
                 else:
                     gb = jnp.where(mj, v, gb)
-        hit_any = (brow >= 0) & (brow < _SUB) & alive
-        acc_r[:] = acc_r[:] + jnp.where(hit_any, wgt * gr, 0.0)
-        acc_g[:] = acc_g[:] + jnp.where(hit_any, wgt * gg, 0.0)
-        acc_b[:] = acc_b[:] + jnp.where(hit_any, wgt * gb, 0.0)
+        acc_r[:] = acc_r[:] + wgt * gr
+        acc_g[:] = acc_g[:] + wgt * gg
+        acc_b[:] = acc_b[:] + wgt * gb
 
     def word_body(wi, _):
         word = _or_reduce(word_bits(wi))

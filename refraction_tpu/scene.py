@@ -58,12 +58,21 @@ class Scene(NamedTuple):
                              # lives at row c*Rn + ti//128, lane ti%128. Used
                              # by the deferred winner-normal resolve (the
                              # inner tri loop tracks (u, v, id) only)
-    env_codes: np.ndarray    # (R, 128) int32 packed texel codes
-                             # (r | g<<8 | b<<16 indices into env_lut), or a
-                             # (1, 128) zero placeholder when the map has
-                             # >256 distinct channel values (see env_coded)
-    env_lut: np.ndarray      # (2, 128) float32 = the 256-entry decode LUT
-                             # (row-major; code c at row c//128, lane c%128)
+    env_codes: np.ndarray    # int32 packed texel codes; flavor is given by
+                             # env_lut's static shape:
+                             #  (6,128) palette: codes (R/4,128) hold FOUR
+                             #    texels/word (8-bit indices into a 256-RGB-
+                             #    triple palette; texel f at byte f%4 of
+                             #    word f//4) — scan windows shrink 4x;
+                             #  (2,128) LUT: one texel/word, three 8-bit
+                             #    per-channel value indices (r|g<<8|b<<16);
+                             #  (1,128) RGBE: one texel/word, raw Radiance
+                             #    bytes decoded arithmetically.
+                             # (1,128) zero codes = uncoded (3-plane f32).
+    env_lut: np.ndarray      # decode table (see env_codes): palette rows
+                             # 0-1/2-3/4-5 = r/g/b channel of triple c at
+                             # row c//128, lane c%128; LUT = the 256-entry
+                             # shared value table
 
     @property
     def num_tris(self) -> int:
@@ -240,7 +249,32 @@ def build_scene(
     # float) keep the 3-plane f32 path (placeholder (1, 128) codes).
     uniq = np.unique(flat)
     word = None
-    if uniq.size <= 256:
+    code_rows = rows
+    # Palette flavor first (preferred): <=256 distinct RGB TRIPLES (true
+    # for the reference's envmap.png — 135) packs FOUR texels' 8-bit
+    # palette indices per int32 word. The env scan's visit cost is pure
+    # gather/select over code rows (measured: the whole remaining env
+    # cost; index math and window reductions are free), so quartering the
+    # row count quarters coherent windows and merges scattered visits.
+    # Decode via three 256-entry channel tables — bit-identical radiance.
+    trip_view = np.ascontiguousarray(flat).view(
+        [("r", np.float32), ("g", np.float32), ("b", np.float32)]
+    ).reshape(-1)
+    uniq_t, inv_t = np.unique(trip_view, return_inverse=True)
+    if uniq_t.size <= 256:
+        n4 = _round_up(max(n_tex, 1), 4)
+        idx8 = np.zeros(n4, np.int64)
+        idx8[:n_tex] = inv_t.reshape(-1)
+        w64 = (idx8[0::4] | (idx8[1::4] << 8) | (idx8[2::4] << 16)
+               | (idx8[3::4] << 24))
+        word = w64.astype(np.uint32).view(np.int32)
+        pal = np.zeros((3, 256), np.float32)
+        pal[0, :uniq_t.size] = uniq_t["r"]
+        pal[1, :uniq_t.size] = uniq_t["g"]
+        pal[2, :uniq_t.size] = uniq_t["b"]
+        env_lut = pal.reshape(6, 128)
+        code_rows = _round_up(max(word.size, 1), 128 * 32) // 128
+    elif uniq.size <= 256:
         lut = np.zeros(256, np.float32)
         lut[:uniq.size] = uniq
         idx = np.searchsorted(uniq, flat)  # exact: values come from uniq
@@ -268,8 +302,8 @@ def build_scene(
             word = w64.astype(np.uint32).view(np.int32)
             env_lut = np.zeros((1, 128), np.float32)
     if word is not None:
-        env_codes = np.zeros((rows, 128), np.int32)
-        env_codes.reshape(-1)[:n_tex] = word
+        env_codes = np.zeros((code_rows, 128), np.int32)
+        env_codes.reshape(-1)[:word.size] = word
     else:
         env_codes = np.zeros((1, 128), np.int32)
         env_lut = np.zeros((2, 128), np.float32)

@@ -196,6 +196,28 @@ def test_fused_rgbe_envmap_matches_xla():
     assert _rmse(ref, fused) < 1e-5
 
 
+def test_fused_palette_envmap_matches_xla():
+    """4-texel palette-packed envmap (<=256 distinct RGB TRIPLES — the
+    reference's envmap.png has 135): four 8-bit palette indices per int32
+    word + triple-palette decode must match the 3-plane f32 path
+    (scene.py palette flavor; envmap_pallas._pal_decode). This quarters
+    the env scan's row count — the measured remaining env cost is pure
+    per-visit gather/select over code rows."""
+    rng = np.random.default_rng(3)
+    pal = rng.random((200, 3)).astype(np.float32)
+    idx = rng.integers(0, 200, size=(64, 128))
+    env = np.ascontiguousarray(pal[idx])
+    scene, _ = build_scene(make_icosphere(2), env, cluster_size=32)
+    assert scene.env_lut.shape[0] == 6      # palette flavor selected
+    assert scene.env_codes.size * 4 >= 64 * 128  # 4 texels per word
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       backend="xla")
+    ref = _xla_image(scene, cfg)
+    fused = render_frame_fused(
+        scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
+
+
 def test_front_to_back_order(sphere_scene, monkeypatch):
     """Per-frame front-to-back cluster ordering (front_to_back_scene):
     the permuted tables must (a) actually sort clusters by camera
