@@ -483,6 +483,18 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
         return visit_sub
 
+    # Subcluster gating word width (resident mode; RRT_SUBWORD sweeps).
+    # 32 = one reduction per 256-tri cluster; improvability then can't
+    # prune WITHIN a cluster (all 32 sub bits are computed before any of
+    # the word's visits). 16 would let the second half-word prune
+    # against the first half's hits — MEASURED WORSE: ott 1080p 5-bounce
+    # 41.5 -> 52.3 ms device median (the extra or-reduce + fori trip per
+    # cluster visit swamps any pruning win; within-cluster best_t rarely
+    # tightens enough to clear fine bits). Off-default knob kept with a
+    # bit-parity test (test_subword_bit_parity). Streamed mode is pinned
+    # at 16 regardless (bit == DMA ring slot).
+    _sub_bits = int(os.environ.get("RRT_SUBWORD", "32"))
+
     if stream is None:
         def visit_cluster(ci):
             gated_loop(
@@ -490,6 +502,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 subs_per_cluster,
                 visit_subs(ci, tri_sm, ci * cluster_size * 9,
                            norm_sm, ci * cluster_size * 9),
+                bits_per_word=_sub_bits,
             )
 
         pre = None

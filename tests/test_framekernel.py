@@ -142,6 +142,32 @@ def test_slot_batch_bit_parity(sphere_scene, streamed):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("bits", [16, 8])
+def test_subword_bit_parity(sphere_scene, bits, monkeypatch):
+    """RRT_SUBWORD<32 (finer subcluster gating words, fresher best_t for
+    improvability) must be BIT-identical to the default 32: pruning only
+    removes boxes whose entry >= best_t for every lane, and any triangle
+    hit inside such a box has t >= entry >= best_t, which the strict
+    `t < best` winner test rejects anyway."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+    monkeypatch.delenv("RRT_SUBWORD", raising=False)
+    fk.frame_call.clear_cache()
+    a = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                      interpret=True))
+    monkeypatch.setenv("RRT_SUBWORD", str(bits))
+    fk.frame_call.clear_cache()
+    try:
+        b = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                          interpret=True))
+    finally:
+        fk.frame_call.clear_cache()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_streamed_matches_resident(sphere_scene):
     """HBM-record streaming traversal (the size-agnostic path) is
     bit-identical to the SMEM-resident path; also covers DMA issue/wait
