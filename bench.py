@@ -140,8 +140,10 @@ def count_live_rays(scene, cfg):
     )) * cfg.spp
 
 
-def device_kernel_ms(render, scene, cfg, n=4):
-    """Pure device time per frame from a profiler trace (min over n)."""
+def device_kernel_ms(render, scene, cfg, n=4, agg=min):
+    """Pure device time per frame from a profiler trace (``agg`` over n;
+    pass ``agg=median`` for angle-sensitive scenes like ott where min
+    would flatter)."""
     import tempfile
 
     frames = [orbit_camera(0.3 + 0.017 * k, cfg) for k in range(n)]
@@ -167,7 +169,12 @@ def device_kernel_ms(render, scene, cfg, n=4):
         and "frame_call" in e.get("name", "")
         and not e["name"].startswith("jit_")
     ]
-    return min(durs) if durs else None
+    return agg(durs) if durs else None
+
+
+def median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
 
 
 def _batched_dispatch_dt(scene, cfg, n_bursts=4, batch=32):
@@ -330,6 +337,35 @@ def main():
                 }
         except Exception as e:  # pragma: no cover - diagnostic only
             ref_demo = {"ref_demo_error": repr(e)}
+
+    # Stress asset (ott.obj "Robin", 12,877 tris — the reference's largest
+    # scene) at the demo's bounce caps, 1080p: the round-2 verdict's
+    # second perf target (<= 33 ms device = >= 30 FPS). Guarded like
+    # ref_demo so it can never break the headline JSON line.
+    if not small:
+        try:
+            cfg_ott = RenderConfig(
+                width=1920, height=1080,
+                scene_path=os.path.join(
+                    os.environ.get("RRT_ASSET_DIR", "/root/reference"),
+                    "ott.obj"),
+                max_refract_depth=5, backend="auto", cluster_size=None)
+            scene_ott, _ = load_scene(cfg_ott)
+            scene_ott = scene_to_device(scene_ott)
+            render_ott = make_renderer(cfg_ott)
+            img_o = render_ott(scene_ott, orbit_camera(0.01, cfg_ott))
+            float(jnp.sum(img_o[0, 0]))
+            ott_ms = device_kernel_ms(render_ott, scene_ott, cfg_ott, n=6,
+                                      agg=median)
+            if ott_ms:
+                ref_demo.update({
+                    "ott_device_ms": round(ott_ms, 1),
+                    "ott_fps_device": round(1e3 / ott_ms, 1),
+                    "ott_note": "ott.obj 1920x1080 5-bounce (stress asset, "
+                                "12,877 tris)",
+                })
+        except Exception as e:  # pragma: no cover - diagnostic only
+            ref_demo["ott_error"] = repr(e)
 
     # spp=4 variant (VERDICT round-1 item 5 / BASELINE config 5 regime):
     # all four samples trace inside ONE kernel dispatch per frame, so the

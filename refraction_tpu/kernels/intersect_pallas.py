@@ -468,7 +468,12 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             else:
                 best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr],
                         best_nz[rr])
-            for k in range(SUB_TRIS):
+            # "tri1" ablation: ONE MT test per visit instead of SUB_TRIS —
+            # wrong image, isolates per-visit vector cost from the trip/
+            # load floor (if tri time drops ~8x the loop is vector-bound;
+            # if ~2x, the scalar side is the floor).
+            n_tris = 1 if "tri1" in _ABLATE else SUB_TRIS
+            for k in range(n_tris):
                 tl = sl * SUB_TRIS + k
                 best = tri_body(ci * cluster_size + tl,
                                 tref, tri_base + tl * 9,

@@ -1,0 +1,297 @@
+#!/usr/bin/env python
+"""Visit-volume statistics for the fused kernel's bounce tree (dev tool).
+
+Simulates the exact slot-round structure of kernels/framekernel.py on a
+strided sample of image tiles (numpy brute-force MT for ground truth) and
+reports, per bounce round: live lanes, live 128-lane rows, and gated
+subcluster-visit counts under several hypothetical execution layouts:
+
+  tile   — what the kernel does today: per live slot, the union over the
+           whole (8,128) tile of (cluster gate AND sub gate AND
+           entry < lane cap) visits.
+  rowpk  — row-packed: live 128-lane rows from ALL slots of the round
+           packed 8-to-a-tile (in slot/row order), unions per packed tile.
+  octpk  — lane-compacted: all live lanes of the round sorted by direction
+           octant, packed 1024-to-a-tile, unions per packed tile.
+
+Each visit costs ~8 MT tests over a full tile regardless of layout, so the
+visit-count ratio IS the triangle-cost ratio. Usage:
+
+    python tools/ottstats.py [scene.obj] [bounces] [tile_stride]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+
+from refraction_tpu.camera import CameraFrame, generate_rays, orbit_camera
+from refraction_tpu.config import RenderConfig
+from refraction_tpu.scene import SUB_TRIS, load_scene
+from refraction_tpu.utils.tileshape import tile_shape
+
+TILE_H, TILE_W = tile_shape()
+_LANE = 128
+_SUB = 8
+
+
+def mt_closest(o, d, cull, tri_a, tri_e1, tri_e2, tmin, tmax):
+    """Brute-force Möller-Trumbore closest hit: (N,) best t / index / (u,v)."""
+    n = o.shape[0]
+    best_t = np.full(n, tmax, np.float32)
+    best_i = np.zeros(n, np.int64)
+    best_u = np.zeros(n, np.float32)
+    best_v = np.zeros(n, np.float32)
+    T = tri_a.shape[0]
+    for c0 in range(0, T, 2048):
+        a = tri_a[c0:c0 + 2048]
+        e1 = tri_e1[c0:c0 + 2048]
+        e2 = tri_e2[c0:c0 + 2048]
+        p = np.cross(d[:, None, :], e2[None, :, :])
+        det = np.einsum("ntk,tk->nt", p, e1)
+        tv = o[:, None, :] - a[None, :, :]
+        u = np.einsum("ntk,ntk->nt", tv, p)
+        q = np.cross(tv, e1[None, :, :])
+        v = np.einsum("ntk,nk->nt", q, d)
+        tt = np.einsum("ntk,tk->nt", q, e2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / det
+            u = u * inv
+            v = v * inv
+            tt = tt * inv
+        ok = ((det * cull[:, None] > 0) & (u >= 0) & (v >= 0)
+              & (u + v <= 1.0) & (tt >= tmin) & (tt < best_t[:, None]))
+        tt = np.where(ok, tt, np.float32(np.inf))
+        j = np.argmin(tt, axis=1)
+        r = np.arange(n)
+        upd = ok[r, j]
+        best_t = np.where(upd, tt[r, j], best_t)
+        best_i = np.where(upd, c0 + j, best_i)
+        best_u = np.where(upd, u[r, j], best_u)
+        best_v = np.where(upd, v[r, j], best_v)
+    return best_t, best_i, best_u, best_v
+
+
+def slab_overlap(o, d, lo, hi, tmin, cap):
+    """(N_rays, N_box) conservative slab overlap with per-lane t cap."""
+    eps = np.float32(1e-30)
+    mag = np.maximum(np.abs(d), eps)
+    inv = np.where(d < 0, -1.0 / mag, 1.0 / mag)
+    a = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    b = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    enter = np.maximum(np.minimum(a, b).max(axis=2), tmin)
+    leave = np.minimum(np.maximum(a, b).min(axis=2), cap[:, None])
+    return (enter <= leave) & (enter < cap[:, None])
+
+
+def visits_for(o, d, alive, caps, cb, sb, spc, tmin):
+    """Gated subcluster visit count for one ray group (union semantics)."""
+    if not alive.any():
+        return 0
+    oo, dd, cc = o[alive], d[alive], caps[alive]
+    cmask = slab_overlap(oo, dd, cb[:, :3], cb[:, 3:], tmin, cc).any(axis=0)
+    vis = 0
+    for ci in np.nonzero(cmask)[0]:
+        s = sb[ci * spc:(ci + 1) * spc]
+        vis += int(slab_overlap(oo, dd, s[:, :3], s[:, 3:], tmin, cc)
+                   .any(axis=0).sum())
+    return vis
+
+
+def main():
+    args = sys.argv[1:]
+    scene_name = args[0] if args else "ott.obj"
+    bounces = int(args[1]) if len(args) > 1 else 5
+    stride = int(args[2]) if len(args) > 2 else 64
+    cfg = RenderConfig(
+        width=1920, height=1080,
+        scene_path=os.path.join(
+            os.environ.get("RRT_ASSET_DIR", "/root/reference"), scene_name),
+        max_refract_depth=bounces, backend="auto")
+    scene, meta = load_scene(cfg)
+    cb = np.asarray(scene.cluster_bounds)
+    sb = np.asarray(scene.sub_bounds)
+    spc = sb.shape[0] // cb.shape[0]
+    tri_a = np.asarray(scene.tri_a)
+    tri_e1 = np.asarray(scene.tri_e1)
+    tri_e2 = np.asarray(scene.tri_e2)
+    tn = np.asarray(scene.tri_norm)
+
+    frame = orbit_camera(0.1, cfg)
+    o_all, d_all = generate_rays(
+        CameraFrame(origin=np.asarray(frame.origin, np.float32),
+                    proj_inv=np.asarray(frame.proj_inv, np.float32)),
+        cfg.width, cfg.height, xp=np)
+    o_all = o_all.reshape(cfg.height, cfg.width, 3)
+    d_all = d_all.reshape(cfg.height, cfg.width, 3)
+
+    tiles_x = cfg.width // TILE_W
+    tiles_y = cfg.height // TILE_H
+    tile_ids = list(range(0, tiles_x * tiles_y, stride))
+    n_slots = 2 ** min(cfg.max_reflect_depth, bounces)
+    ior, r0 = np.float32(cfg.ior), np.float32(cfg.fresnel_r0)
+
+    # state per tile: pools of (n_slots*1024) rays
+    tot = {k: np.zeros((bounces + 1,), np.int64)
+           for k in ("live", "rows", "slots", "v_tile", "v_rowpk", "v_octpk",
+                     "tiles_live")}
+
+    for tid in tile_ids:
+        ty, tx = tid // tiles_x, tid % tiles_x
+        o0 = o_all[ty * TILE_H:(ty + 1) * TILE_H,
+                   tx * TILE_W:(tx + 1) * TILE_W].reshape(-1, 3)
+        d0 = d_all[ty * TILE_H:(ty + 1) * TILE_H,
+                   tx * TILE_W:(tx + 1) * TILE_W].reshape(-1, 3)
+        N = o0.shape[0]
+        po = np.zeros((n_slots * N, 3), np.float32)
+        pd = np.zeros((n_slots * N, 3), np.float32)
+        pc = np.zeros((n_slots * N,), np.float32)
+        pw = np.zeros((n_slots * N,), np.float32)
+        po[:N], pd[:N], pc[:N], pw[:N] = o0, d0, 1.0, 1.0
+
+        w_slots = 1
+        for count in range(bounces + 1):
+            is_last = count == bounces
+            tmin = cfg.primary_tmin if count == 0 else cfg.secondary_tmin
+            tmax = cfg.primary_tmax if count == 0 else cfg.secondary_tmax
+            spawn_reflect = (not is_last) and count < cfg.max_reflect_depth
+
+            # --- measure this round over live slots -------------------
+            live_rows_all = []   # (slot, row) pairs with any live lane
+            live_lane_idx = []   # global pool indices of live lanes
+            any_live = False
+            for sl in range(w_slots):
+                seg = slice(sl * N, (sl + 1) * N)
+                alive = pc[seg] != 0.0
+                if not alive.any():
+                    continue
+                any_live = True
+                tot["slots"][count] += 1
+                tot["live"][count] += int(alive.sum())
+                rows = alive.reshape(-1, _LANE).any(axis=1)
+                tot["rows"][count] += int(rows.sum())
+                for ri in np.nonzero(rows)[0]:
+                    live_rows_all.append((sl, ri))
+                live_lane_idx.append(sl * N + np.nonzero(alive)[0])
+
+            if not any_live:
+                break
+            tot["tiles_live"][count] += 1
+
+            # ground-truth hits for caps + children
+            bt = np.full(n_slots * N, tmax, np.float32)
+            bi = np.zeros(n_slots * N, np.int64)
+            bu = np.zeros(n_slots * N, np.float32)
+            bv = np.zeros(n_slots * N, np.float32)
+            for sl in range(w_slots):
+                seg = slice(sl * N, (sl + 1) * N)
+                alive = pc[seg] != 0.0
+                if not alive.any():
+                    continue
+                t_, i_, u_, v_ = mt_closest(
+                    po[seg][alive], pd[seg][alive], pc[seg][alive],
+                    tri_a, tri_e1, tri_e2, tmin, tmax)
+                for arr, val in ((bt, t_), (bi, i_), (bu, u_), (bv, v_)):
+                    tmp = arr[seg]
+                    tmp[alive] = val
+                    arr[seg] = tmp
+
+            # visit counts: per-slot tiles (today)
+            for sl in range(w_slots):
+                seg = slice(sl * N, (sl + 1) * N)
+                alive = pc[seg] != 0.0
+                tot["v_tile"][count] += visits_for(
+                    po[seg], pd[seg], alive, bt[seg], cb, sb, spc, tmin)
+
+            # row-packed: live rows from all slots, 8 per packed tile
+            for g0 in range(0, len(live_rows_all), _SUB):
+                sel = live_rows_all[g0:g0 + _SUB]
+                idx = np.concatenate([
+                    sl * N + ri * _LANE + np.arange(_LANE)
+                    for sl, ri in sel])
+                alive = pc[idx] != 0.0
+                tot["v_rowpk"][count] += visits_for(
+                    po[idx], pd[idx], alive, bt[idx], cb, sb, spc, tmin)
+
+            # octant lane-packed
+            if live_lane_idx:
+                idx = np.concatenate(live_lane_idx)
+                dd = pd[idx]
+                octant = ((dd[:, 0] > 0).astype(int)
+                          + 2 * (dd[:, 1] > 0).astype(int)
+                          + 4 * (dd[:, 2] > 0).astype(int))
+                idx = idx[np.argsort(octant, kind="stable")]
+                for g0 in range(0, len(idx), N):
+                    gsel = idx[g0:g0 + N]
+                    alive = np.ones(len(gsel), bool)
+                    tot["v_octpk"][count] += visits_for(
+                        po[gsel], pd[gsel], alive, bt[gsel], cb, sb, spc,
+                        tmin)
+
+            if is_last:
+                break
+
+            # --- children (exact _slot_body semantics) ----------------
+            for sl in range(w_slots):
+                seg = slice(sl * N, (sl + 1) * N)
+                o_, d_, cu, w_ = po[seg], pd[seg], pc[seg], pw[seg]
+                alive = cu != 0.0
+                t_ = bt[seg]
+                hit = (t_ < tmax) & alive
+                tri = bi[seg]
+                a_n = tn[tri, 0]
+                b_n = tn[tri, 1]
+                c_n = tn[tri, 2]
+                nsh = a_n + bu[seg][:, None] * (b_n - a_n) \
+                    + bv[seg][:, None] * (c_n - a_n)
+                nl = np.linalg.norm(nsh, axis=1, keepdims=True)
+                nsh = nsh / np.maximum(nl, 1e-30)
+                npr = nsh * np.sign(cu)[:, None]
+                dot = np.einsum("nk,nk->n", d_, npr)
+                base = 1.0 - dot
+                fres = (r0 * (1 - r0)) * base ** 5
+                hp = o_ + t_[:, None] * d_
+                eta = np.where(cu > 0, 1.0 / ior, ior)
+                k = 1.0 - eta * eta * (1.0 - dot * dot)
+                ok = k >= 0
+                coef = eta * dot + np.sqrt(np.maximum(k, 0))
+                rd = eta[:, None] * d_ - coef[:, None] * npr
+                rl = np.linalg.norm(rd, axis=1, keepdims=True)
+                rd = rd / np.maximum(rl, 1e-30)
+                f_alive = hit & ok
+                if spawn_reflect:
+                    seg2 = slice((sl + w_slots) * N, (sl + w_slots + 1) * N)
+                    sd = d_ - 2 * dot[:, None] * npr
+                    sl_ = np.linalg.norm(sd, axis=1, keepdims=True)
+                    sd = sd / np.maximum(sl_, 1e-30)
+                    po[seg2] = hp
+                    pd[seg2] = np.where(hit[:, None], sd, 0)
+                    pc[seg2] = np.where(hit, cu, 0)
+                    pw[seg2] = np.where(hit, w_ * fres, 0)
+                po[seg] = hp
+                pd[seg] = np.where(f_alive[:, None], rd, 0)
+                pc[seg] = np.where(f_alive, -cu, 0)
+                pw[seg] = np.where(f_alive, w_ * (1 - fres), 0)
+            if spawn_reflect:
+                w_slots *= 2
+
+    nt = len(tile_ids)
+    print(f"# {scene_name} {bounces}-bounce, {nt} sampled tiles "
+          f"(stride {stride}), cluster_size={meta.cluster_size}, "
+          f"C={cb.shape[0]}, spc={spc}")
+    print(f"{'cnt':>3} {'tiles':>5} {'slots':>5} {'live':>7} {'rows':>5} "
+          f"{'v_tile':>7} {'v_rowpk':>7} {'v_octpk':>7}")
+    for c in range(bounces + 1):
+        print(f"{c:>3} {tot['tiles_live'][c]:>5} {tot['slots'][c]:>5} "
+              f"{tot['live'][c]:>7} {tot['rows'][c]:>5} "
+              f"{tot['v_tile'][c]:>7} {tot['v_rowpk'][c]:>7} "
+              f"{tot['v_octpk'][c]:>7}")
+    for k in ("v_tile", "v_rowpk", "v_octpk"):
+        print(f"total {k}: {int(tot[k].sum())}")
+
+
+if __name__ == "__main__":
+    main()
