@@ -367,6 +367,26 @@ def main():
         except Exception as e:  # pragma: no cover - diagnostic only
             ref_demo["ott_error"] = repr(e)
 
+    # Cold-compile budget (VERDICT round-2 item 4): wall seconds to
+    # trace+compile the fused kernel for the 81,920-tri streamed config
+    # with a FRESH compilation cache, measured in a subprocess
+    # (tools/compiletime.py) so this process's warm cache can't flatter
+    # it. Guarded: never breaks the headline line.
+    if not small:
+        try:
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "compiletime.py"),
+                 "6", "1920", "1080", "4"],
+                timeout=900, capture_output=True, text=True)
+            cold = json.loads(r.stdout.strip().splitlines()[-1])
+            ref_demo["compile80k_cold_s"] = cold["compile_s"]
+        except Exception as e:  # pragma: no cover - diagnostic only
+            ref_demo["compile80k_error"] = repr(e)
+
     # spp=4 variant (VERDICT round-1 item 5 / BASELINE config 5 regime):
     # all four samples trace inside ONE kernel dispatch per frame, so the
     # fixed per-frame overhead (host dispatch, relay RTT, raygen setup)

@@ -190,7 +190,18 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
             p_cull[_SUB:n_slots * _SUB, :] = jnp.zeros(
                 ((n_slots - 1) * _SUB, _LANE), f32)
 
-        # --- Bounce tree, statically unrolled (integrator.py widths).
+        # --- Bounce tree (integrator.py widths). Rounds 0..max_reflect
+        # are statically unrolled (their slot width / env path / spawn
+        # behavior differ); the MIDDLE rounds — counts in
+        # [max_reflect, max_refract), where the front is a stable
+        # 2^max_reflect slots wide, nothing spawns, and tmin/tmax are the
+        # secondary constants — are textually IDENTICAL, so they run as
+        # ONE rolled fori_loop body. That cuts the Mosaic program by the
+        # three-or-so duplicated traversal+env+shading bodies (cold
+        # compiles were ~7-10 min at 1080p; program size, not grid size,
+        # was the driver — same effect as rolling the spp and slot
+        # loops).
+        #
         # Scalar-stall discipline (each vector->scalar reduction + branch
         # stalls the in-order core ~0.6 us, and they — not vector math —
         # set the per-tile floor): per bounce round there are exactly TWO
@@ -198,50 +209,69 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         # liveness flags, and the env row window inside env_window_tile's
         # batched call), and a tile whose rays all died skips the round on
         # scalar flag reads alone.
+        def round_work(primary, w_slots, tmin, tmax, is_last, spawn_reflect):
+            if w_slots == 1:
+                _slot_round(jnp.int32(0), w_slots, tmin, tmax, is_last,
+                            spawn_reflect, alive_known=primary,
+                            primary=primary)
+            elif _SLOT_BATCH:
+                _batched_body(w_slots, tmin, tmax, is_last, spawn_reflect)
+            else:
+                # Rolled (not unrolled) slot loop: one traversal body
+                # per ROUND instead of one per slot — the statically
+                # unrolled variant tripled program size and degraded
+                # Mosaic's scheduling (same effect as the spp loop:
+                # 104 -> 74.7 ms at spp=4 when rolled).
+                def sl_body(sl, _):
+                    _slot_round(sl, w_slots, tmin, tmax, is_last,
+                                spawn_reflect, alive_known=False,
+                                primary=primary)
+                    return 0
+
+                jax.lax.fori_loop(0, w_slots, sl_body, 0)
+            if not is_last:
+                _flags_pass()
+
+        def gated_round(primary, w_slots, tmin, tmax, is_last,
+                        spawn_reflect):
+            live = flags_sm[0]
+            for sl in range(1, w_slots):
+                live = live | flags_sm[sl]
+
+            @pl.when(live != 0)
+            def _():
+                round_work(primary, w_slots, tmin, tmax, is_last,
+                           spawn_reflect)
+
         w_slots = 1
+        # Middle-round span: [max(max_reflect, 1), max_refract) — every
+        # count there is secondary (tmin/tmax, env path, liveness gating
+        # all count-independent), nothing spawns, and the front is a
+        # stable width, so the rounds are textually identical and roll
+        # into one fori body when there are >= 2 of them.
+        mid_lo = max(min(max_reflect, max_refract), 1)
+        roll_mid = max_refract - mid_lo >= 2
         for count in range(max_refract + 1):
             is_last = count == max_refract
             tmin = tmin_p if count == 0 else tmin_s
             tmax = tmax_p if count == 0 else tmax_s
             spawn_reflect = (not is_last) and count < max_reflect
-            self_w = w_slots
 
-            def round_work(w_slots=w_slots, tmin=tmin, tmax=tmax,
-                           is_last=is_last, spawn_reflect=spawn_reflect,
-                           count=count):
-                if w_slots == 1:
-                    _slot_round(jnp.int32(0), w_slots, tmin, tmax, is_last,
-                                spawn_reflect, alive_known=(count == 0),
-                                count=count)
-                elif _SLOT_BATCH:
-                    _batched_body(w_slots, tmin, tmax, is_last,
-                                  spawn_reflect, count)
-                else:
-                    # Rolled (not unrolled) slot loop: one traversal body
-                    # per ROUND instead of one per slot — the statically
-                    # unrolled variant tripled program size and degraded
-                    # Mosaic's scheduling (same effect as the spp loop:
-                    # 104 -> 74.7 ms at spp=4 when rolled).
-                    def sl_body(sl, _):
-                        _slot_round(sl, w_slots, tmin, tmax, is_last,
-                                    spawn_reflect,
-                                    alive_known=(count == 0), count=count)
+            if roll_mid and mid_lo <= count < max_refract:
+                if count == mid_lo:
+                    def mid_body(c, _, w_slots=w_slots):
+                        gated_round(False, w_slots, tmin_s, tmax_s,
+                                    False, False)
                         return 0
 
-                    jax.lax.fori_loop(0, w_slots, sl_body, 0)
-                if not is_last:
-                    _flags_pass()
-
-            if count == 0:
-                round_work()
+                    jax.lax.fori_loop(mid_lo, max_refract, mid_body, 0)
+                # later middle counts: already covered by the fori
+            elif count == 0:
+                round_work(True, w_slots, tmin, tmax, is_last,
+                           spawn_reflect)
             else:
-                live = flags_sm[0]
-                for sl in range(1, self_w):
-                    live = live | flags_sm[sl]
-
-                @pl.when(live != 0)
-                def _():
-                    round_work()
+                gated_round(False, w_slots, tmin, tmax, is_last,
+                            spawn_reflect)
 
             if spawn_reflect:
                 w_slots *= 2
@@ -266,18 +296,19 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
             flags_sm[sl] = (word >> sl) & 1
 
     def _slot_round(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
-                    alive_known, count):
+                    alive_known, primary):
         if alive_known:
             _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
-                       count)
+                       primary)
             return
 
         @pl.when(flags_sm[slot] != 0)
         def _():
             _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
-                       count)
+                       primary)
 
-    def _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect, count):
+    def _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
+                   primary):
         r = pl.ds(slot * _SUB, _SUB)  # slot may be traced (rolled loop)
         cu = p_cull[r, :]
         o_x, o_y, o_z = p_ox[r, :], p_oy[r, :], p_oz[r, :]
@@ -310,7 +341,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         # misses (count > 0) scatter across the map — occupancy gating
         # collapses the wide window to the occupied groups.
         env_tile = (_ENV_PATH == "tile"
-                    or (_ENV_PATH == "auto" and count == 0))
+                    or (_ENV_PATH == "auto" and primary))
         if "noenv" not in _ABLATE:
             if env_tile:
                 er, eg, eb = env_window_tile(
@@ -391,7 +422,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
             p_cull[r2, :] = jnp.where(hit, cu, 0.0)
             p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
 
-    def _batched_body(w_slots, tmin, tmax, is_last, spawn_reflect, count):
+    def _batched_body(w_slots, tmin, tmax, is_last, spawn_reflect):
         """RRT_SLOT_BATCH round: the whole w-slot front as ONE (w*8, 128)
         traversal. Identical per-lane math to the per-slot path (_slot_
         body) — union gating only adds candidate tests that each lane's

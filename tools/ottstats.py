@@ -88,9 +88,9 @@ def slab_overlap(o, d, lo, hi, tmin, cap):
 
 
 def visits_for(o, d, alive, caps, cb, sb, spc, tmin):
-    """Gated subcluster visit count for one ray group (union semantics)."""
+    """Gated (cluster, subcluster) visit counts for one ray group."""
     if not alive.any():
-        return 0
+        return 0, 0
     oo, dd, cc = o[alive], d[alive], caps[alive]
     cmask = slab_overlap(oo, dd, cb[:, :3], cb[:, 3:], tmin, cc).any(axis=0)
     vis = 0
@@ -98,7 +98,17 @@ def visits_for(o, d, alive, caps, cb, sb, spc, tmin):
         s = sb[ci * spc:(ci + 1) * spc]
         vis += int(slab_overlap(oo, dd, s[:, :3], s[:, 3:], tmin, cc)
                    .any(axis=0).sum())
-    return vis
+    return int(cmask.sum()), vis
+
+
+def sub_bounds_at(tri_packed, g):
+    """(T/g, 6) AABBs of g-triangle groups in table (cluster) order."""
+    tp = tri_packed.reshape(-1, 9)
+    a = tp[:, 0:3]
+    corners = np.stack([a, a + tp[:, 3:6], a + tp[:, 6:9]], axis=1)
+    lo = corners.min(axis=1).reshape(-1, g, 3).min(axis=1)
+    hi = corners.max(axis=1).reshape(-1, g, 3).max(axis=1)
+    return np.concatenate([lo, hi], axis=1)
 
 
 def main():
@@ -115,6 +125,9 @@ def main():
     cb = np.asarray(scene.cluster_bounds)
     sb = np.asarray(scene.sub_bounds)
     spc = sb.shape[0] // cb.shape[0]
+    tp = np.asarray(scene.tri_packed)
+    cs = tp.shape[0] // cb.shape[0]
+    alt = {g: (sub_bounds_at(tp, g), cs // g) for g in (4, 16)}
     tri_a = np.asarray(scene.tri_a)
     tri_e1 = np.asarray(scene.tri_e1)
     tri_e2 = np.asarray(scene.tri_e2)
@@ -137,7 +150,7 @@ def main():
     # state per tile: pools of (n_slots*1024) rays
     tot = {k: np.zeros((bounces + 1,), np.int64)
            for k in ("live", "rows", "slots", "v_tile", "v_rowpk", "v_octpk",
-                     "tiles_live")}
+                     "tiles_live", "c_vis", "v_sub4", "v_sub16")}
 
     for tid in tile_ids:
         ty, tx = tid // tiles_x, tid % tiles_x
@@ -199,12 +212,18 @@ def main():
                     tmp[alive] = val
                     arr[seg] = tmp
 
-            # visit counts: per-slot tiles (today)
+            # visit counts: per-slot tiles (today) + alt sub granularity
             for sl in range(w_slots):
                 seg = slice(sl * N, (sl + 1) * N)
                 alive = pc[seg] != 0.0
-                tot["v_tile"][count] += visits_for(
+                cv, sv = visits_for(
                     po[seg], pd[seg], alive, bt[seg], cb, sb, spc, tmin)
+                tot["c_vis"][count] += cv
+                tot["v_tile"][count] += sv
+                for g, (sbg, spcg) in alt.items():
+                    tot[f"v_sub{g}"][count] += visits_for(
+                        po[seg], pd[seg], alive, bt[seg], cb, sbg, spcg,
+                        tmin)[1]
 
             # row-packed: live rows from all slots, 8 per packed tile
             for g0 in range(0, len(live_rows_all), _SUB):
@@ -214,7 +233,7 @@ def main():
                     for sl, ri in sel])
                 alive = pc[idx] != 0.0
                 tot["v_rowpk"][count] += visits_for(
-                    po[idx], pd[idx], alive, bt[idx], cb, sb, spc, tmin)
+                    po[idx], pd[idx], alive, bt[idx], cb, sb, spc, tmin)[1]
 
             # octant lane-packed
             if live_lane_idx:
@@ -229,7 +248,7 @@ def main():
                     alive = np.ones(len(gsel), bool)
                     tot["v_octpk"][count] += visits_for(
                         po[gsel], pd[gsel], alive, bt[gsel], cb, sb, spc,
-                        tmin)
+                        tmin)[1]
 
             if is_last:
                 break
@@ -283,14 +302,21 @@ def main():
           f"(stride {stride}), cluster_size={meta.cluster_size}, "
           f"C={cb.shape[0]}, spc={spc}")
     print(f"{'cnt':>3} {'tiles':>5} {'slots':>5} {'live':>7} {'rows':>5} "
-          f"{'v_tile':>7} {'v_rowpk':>7} {'v_octpk':>7}")
+          f"{'c_vis':>6} {'v_tile':>7} {'v_rowpk':>7} {'v_octpk':>7} "
+          f"{'v_sub4':>7} {'v_sub16':>7}")
     for c in range(bounces + 1):
         print(f"{c:>3} {tot['tiles_live'][c]:>5} {tot['slots'][c]:>5} "
               f"{tot['live'][c]:>7} {tot['rows'][c]:>5} "
+              f"{tot['c_vis'][c]:>6} "
               f"{tot['v_tile'][c]:>7} {tot['v_rowpk'][c]:>7} "
-              f"{tot['v_octpk'][c]:>7}")
-    for k in ("v_tile", "v_rowpk", "v_octpk"):
+              f"{tot['v_octpk'][c]:>7} {tot['v_sub4'][c]:>7} "
+              f"{tot['v_sub16'][c]:>7}")
+    for k in ("c_vis", "v_tile", "v_rowpk", "v_octpk", "v_sub4", "v_sub16"):
         print(f"total {k}: {int(tot[k].sum())}")
+    # tri tests per layout (the vector-cost proxy)
+    print(f"tri tests: sub8={8 * int(tot['v_tile'].sum())} "
+          f"sub4={4 * int(tot['v_sub4'].sum())} "
+          f"sub16={16 * int(tot['v_sub16'].sum())}")
 
 
 if __name__ == "__main__":
