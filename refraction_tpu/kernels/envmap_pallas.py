@@ -71,20 +71,38 @@ def _sublane_steps(rows: int):
     return steps
 
 
-def _roll_min(v):
+def _roll_min_plane(v):
     for s in (64, 32, 16, 8, 4, 2, 1):
         v = jnp.minimum(v, pltpu.roll(v, s, axis=1))
     for s in _sublane_steps(v.shape[0]):
         v = jnp.minimum(v, pltpu.roll(v, s, axis=0))
-    return v[0, 0]
+    return v
 
 
-def _roll_max(v):
+def _roll_max_plane(v):
     for s in (64, 32, 16, 8, 4, 2, 1):
         v = jnp.maximum(v, pltpu.roll(v, s, axis=1))
     for s in _sublane_steps(v.shape[0]):
         v = jnp.maximum(v, pltpu.roll(v, s, axis=0))
-    return v[0, 0]
+    return v
+
+
+def _roll_min(v):
+    return _roll_min_plane(v)[0, 0]
+
+
+def _roll_max(v):
+    return _roll_max_plane(v)[0, 0]
+
+
+def _window_scalars(lo_masked, hi_masked):
+    """min/max window bounds with both roll trees issued before either
+    scalar extract. Measured NEUTRAL on device (Mosaic already schedules
+    scalar reads by dataflow, not program order); kept because it makes
+    the pairing explicit and costs nothing."""
+    lo_plane = _roll_min_plane(lo_masked)
+    hi_plane = _roll_max_plane(hi_masked)
+    return lo_plane[0, 0], hi_plane[0, 0]
 
 
 def _env_kernel(dx, dy, dz, w, env_ref, out_r, out_g, out_b,
@@ -222,8 +240,8 @@ def env_window_tile(x, y, z, alive, env_ref,
         _env_flat(x, y, z, height, width), packed4)
 
     big = jnp.int32(2 ** 30)
-    q_lo = _roll_min(jnp.where(alive, q, big))
-    q_hi = _roll_max(jnp.where(alive, q, -1))
+    q_lo, q_hi = _window_scalars(jnp.where(alive, q, big),
+                                 jnp.where(alive, q, -1))
     scan = _SCAN_ROWS
     g0 = (q_lo // scan) * scan
     n_groups = q_hi // scan - q_lo // scan + 1
@@ -328,8 +346,8 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
         _env_flat(x, y, z, height, width), packed4)
 
     big = jnp.int32(2 ** 30)
-    q_lo = _roll_min(jnp.where(alive, q, big))
-    q_hi = _roll_max(jnp.where(alive, q, -1))
+    q_lo, q_hi = _window_scalars(jnp.where(alive, q, big),
+                                 jnp.where(alive, q, -1))
     g_lo = q_lo // _ENV_SUB
     n_groups = q_hi // _ENV_SUB - g_lo + 1  # negative when no lane alive
     if "envnoscan" in _ABLATE:

@@ -42,6 +42,18 @@ import os
 _ABLATE = frozenset(
     filter(None, os.environ.get("RRT_ABLATE", "").split(",")))
 
+# Division-free rational-t triangle tests (RRT_RATIONAL=1): the MT loop
+# carries the winner as (t_num', |det|) and compares candidates with
+# cross-multiplication (t_a/d_a < t_b/d_b <=> t_a*d_b < t_b*d_a for
+# positive denominators), deferring the per-lane division to ONE
+# reciprocal per traversal. Removes the longest-latency op (the f32
+# divide) from the 8-triangle unroll. The resolved t/u/v are
+# BIT-IDENTICAL to the divided form whenever the same winner is selected
+# (negation and reciprocal-of-negation are exact in IEEE; x*(1/(-d)) ==
+# (-x)*(1/d)); only measure-zero boundary ties (|u+v-1|, |t-best| within
+# rounding of the cross-multiplied compare) can flip a winner.
+_RATIONAL = os.environ.get("RRT_RATIONAL", "0") != "0"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,6 +226,12 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     rr = pl.ds(0, R)  # static prefix of the (possibly larger) scratch
     alive = cu != 0.0
     defer_norms = norm_vmem is not None
+    # Rational mode (see _RATIONAL): supported on the production paths
+    # (deferred-normal closest hit, where best_nz is free to carry the
+    # winner denominator until the resolve pass, and any-hit, which needs
+    # no denominator at all — the retire mark stays a real value). The
+    # inline-normal path keeps the divided form.
+    rational = _RATIONAL and (defer_norms or any_hit)
 
     best_t[rr] = jnp.broadcast_to(tmax, (R, _LANE))
     if not any_hit:
@@ -223,6 +241,9 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         # (default normal (0,1,0) is applied there instead).
         if defer_norms:
             best_ny[rr] = jnp.zeros((R, _LANE), jnp.float32)
+            if rational:
+                # best_t/best_nz carry (t_num', den): init t = tmax/1.
+                best_nz[rr] = jnp.ones((R, _LANE), jnp.float32)
         else:
             best_ny[rr] = jnp.ones((R, _LANE), jnp.float32)
             best_nz[rr] = jnp.zeros((R, _LANE), jnp.float32)
@@ -264,14 +285,17 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     def slab_mask(bounds_sm, base):
         return slab_mask_entry(bounds_sm, base)[0]
 
-    def _roll_tree(v, combine):
+    def _roll_tree_plane(v, combine):
         for s in (64, 32, 16, 8, 4, 2, 1):
             v = combine(v, pltpu.roll(v, s, axis=1))
         s = v.shape[0] // 2
         while s >= 1:
             v = combine(v, pltpu.roll(v, s, axis=0))
             s //= 2
-        return v[0, 0]
+        return v
+
+    def _roll_tree(v, combine):
+        return _roll_tree_plane(v, combine)[0, 0]
 
     def or_reduce_scalar(bits):
         """Bitwise-OR a (8,128) int32 tile to one scalar via a roll tree —
@@ -283,7 +307,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                       # SMEM ring slot per bit, so fixed at 16 there)
 
     def gated_loop(bounds_ref, base, start, count, visit, pre_visit=None,
-                   bits_per_word=32):
+                   bits_per_word=32, dup=False):
         """For i in [start, start+count): visit(i) iff any live lane
         overlaps AABB i, whose bounds live at ``bounds_ref[base + i*6]``.
         ``count`` is static; ``base``/``start`` may be traced.
@@ -297,11 +321,31 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         reduction and the visits (DMA issue hook for streaming)."""
         n_groups = (count + bits_per_word - 1) // bits_per_word
 
-        def group_body(g, _):
-            rel0 = g * bits_per_word
+        def group_bits(rel0, n_boxes=None):
+            # ``n_boxes`` (static-rel0 path): real boxes in this word —
+            # the tail word then emits no clamped-index slab tests.
+            if n_boxes is None:
+                n_boxes = min(bits_per_word, count)
             bits = jnp.zeros((R, _LANE), jnp.int32)
             cur_best = best_t[rr]
-            for b in range(min(bits_per_word, count)):
+            # Rational closest-hit: best is (num, den); enter < num/den
+            # <=> enter*den < num (den > 0 always: init 1, updates |det|).
+            # The (1 + 1e-4) margin makes the prune conservative w.r.t.
+            # the cross-multiplied accept test: accept compares
+            # fl(t_*bd) < fl(bt*du) whose roundings can admit a triangle
+            # with real t a few ulp ABOVE the current best (and such
+            # wobble can stack over in-group updates), while
+            # enter <= real t always — a margin far above the stacked
+            # ulp bound guarantees accept => gate, which is what makes
+            # the visit SET (union gating, word granularity, slot
+            # batching) unable to change any winner (the batch/subword
+            # bit-parity contracts). Visiting the few extra boxes whose
+            # entry is within 0.01% of the current best costs nothing
+            # measurable.
+            if rational:
+                cur_best = cur_best * jnp.float32(1.0 + 1e-4)
+            cur_den = (best_nz[rr] if rational and not any_hit else None)
+            for b in range(n_boxes):
                 rel = rel0 + b
                 idx = start + jnp.minimum(rel, count - 1)
                 m, enter = slab_mask_entry(bounds_ref, base + idx * 6)
@@ -309,13 +353,16 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 # best hit is farther than the box entry — per-lane early
                 # termination folded into the overlap bit for free.
                 in_range = rel < count
+                improv = (enter * cur_den < cur_best if cur_den is not None
+                          else enter < cur_best)
                 # int32-safe bit constant (bit 31 is the sign bit).
                 bconst = jnp.int32(np.int32(np.uint32(1) << np.uint32(b)))
                 bits = bits | jnp.where(
-                    m & (enter < cur_best) & in_range, bconst, jnp.int32(0)
+                    m & improv & in_range, bconst, jnp.int32(0)
                 )
-            word = or_reduce_scalar(bits)
+            return bits
 
+        def word_visits(word, rel0):
             @pl.when(word != 0)
             def _():
                 if pre_visit is not None:
@@ -323,12 +370,54 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
                 # One scalar-loop trip per SET bit, ascending (same visit
                 # order as a dense scan, so closest-hit tie-breaking is
-                # unchanged).
-                iter_set_bits(word, lambda b: visit(start + rel0 + b))
+                # unchanged). ``dup`` (the "sub2x" instrument) runs every
+                # visit twice — idempotent, bit-identical output — so the
+                # time delta isolates the full per-visit cost (trip +
+                # loads + MT + winner-state traffic).
+                if dup:
+                    def _visit2(b):
+                        visit(start + rel0 + b)
+                        visit(start + rel0 + b)
 
-            return 0
+                    iter_set_bits(word, _visit2)
+                else:
+                    iter_set_bits(word, lambda b: visit(start + rel0 + b))
 
-        jax.lax.fori_loop(0, n_groups, group_body, 0)
+        if n_groups <= 4:
+            # Statically small scan (every shipped scene's cluster, super
+            # and subcluster levels): unroll the word loop, issue ALL
+            # words' gate planes + OR roll trees before the first scalar
+            # read, and give tail words their real box count (no clamped-
+            # index slab tests). The read grouping measured NEUTRAL on
+            # device — Mosaic already schedules scalar reads by dataflow,
+            # so the RRT_SUBWORD +1.15 us/word cost is control-flow
+            # boundaries, not drains — but the tail-word skip is strictly
+            # less work and the unrolled shape is where the branch-count
+            # cuts land. Visit semantics are unchanged; later words' gate
+            # bits read a best_t that is staler by the earlier words'
+            # visits, which is exactly the (bit-parity-safe) conservative
+            # direction — the subword parity test pins that argument.
+            planes = [
+                _roll_tree_plane(group_bits(
+                    g * bits_per_word,
+                    min(bits_per_word, count - g * bits_per_word)),
+                    jnp.bitwise_or)
+                for g in range(n_groups)
+            ]
+            # Extract AFTER all trees are issued (or_reduce_scalar embeds
+            # its extract, which would re-serialize tree/read/tree/read).
+            words = [p[0, 0] for p in planes]
+            for g, word in enumerate(words):
+                word_visits(word, g * bits_per_word)
+        else:
+            # Large streamed scans (e.g. C=320 at cluster level): rolled
+            # loop, one drain per word.
+            def group_body(g, _):
+                rel0 = g * bits_per_word
+                word_visits(or_reduce_scalar(group_bits(rel0)), rel0)
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, group_body, 0)
 
     subs_per_cluster = cluster_size // SUB_TRIS
     if stream is not None:
@@ -395,10 +484,42 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         v_num = d_x * qx + d_y * qy + d_z * qz
         t_num = e20 * qx + e21 * qy + e22 * qz
 
+        if rational:
+            # Division-free (see _RATIONAL): select on sign-normalized
+            # numerators; du = |det| > 0 whenever `accept` holds, so all
+            # cross-multiplied compares keep their direction.
+            sgn = jnp.where(det < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+            du = det * sgn
+            u_ = u_num * sgn
+            v_ = v_num * sgn
+            t_ = t_num * sgn
+            cond = (
+                accept
+                & (u_ >= 0.0)
+                & (v_ >= 0.0)
+                & (u_ + v_ <= du)
+                & (t_ >= tmin * du)
+            )
+            if any_hit:
+                (bt,) = best  # tmax (live) or -1 (retired); both real t's
+                upd = cond & (t_ < bt * du)
+                return (jnp.where(upd, jnp.float32(-1.0), bt),)
+            bt, bi, bu, bv, bd = best
+            upd = cond & (t_ * bd < bt * du)
+            bt = jnp.where(upd, t_, bt)
+            bd = jnp.where(upd, du, bd)
+            bi = jnp.where(upd, ti, bi)
+            bu = jnp.where(upd, u_, bu)
+            bv = jnp.where(upd, v_, bv)
+            return bt, bi, bu, bv, bd
+
         # Unguarded: det == 0 makes t/u/v garbage, but `accept` is then
         # false (0 * cu > 0 fails), so the garbage can never be selected
         # (float division by zero does not trap on TPU).
-        inv_det = 1.0 / det
+        # "nodiv" ablation: skip the reciprocal (WRONG image) — isolates
+        # the vector-divide latency from the rest of the MT arithmetic
+        # (the divide is the longest-latency op in the 8-tri unroll).
+        inv_det = det if "nodiv" in _ABLATE else 1.0 / det
         u = u_num * inv_det
         v = v_num * inv_det
         t = t_num * inv_det
@@ -463,27 +584,36 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 best = (best_t[rr],)
             elif defer_norms:
                 # best_nx/best_ny double as winner-u / winner-v storage
-                # until the resolve pass overwrites them with normals.
+                # until the resolve pass overwrites them with normals
+                # (rational mode adds best_nz as the winner denominator).
                 best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr])
+                if rational:
+                    best = best + (best_nz[rr],)
             else:
                 best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr],
                         best_nz[rr])
             # "tri1" ablation: ONE MT test per visit instead of SUB_TRIS —
-            # wrong image, isolates per-visit vector cost from the trip/
-            # load floor (if tri time drops ~8x the loop is vector-bound;
-            # if ~2x, the scalar side is the floor).
+            # wrong image AND wrong workload (fewer hits -> emptier later
+            # rounds), so it UNDERSTATES real tri cost; "tri2x" is the
+            # uncontaminated instrument: it repeats the whole 8-tri loop
+            # (idempotent — the strict `<` winner test re-rejects every
+            # candidate the first pass accepted), so the image is
+            # bit-identical and the time delta IS the per-visit MT
+            # vector+load cost.
             n_tris = 1 if "tri1" in _ABLATE else SUB_TRIS
-            for k in range(n_tris):
-                tl = sl * SUB_TRIS + k
-                best = tri_body(ci * cluster_size + tl,
-                                tref, tri_base + tl * 9,
-                                nref, norm_base + tl * 9, best)
+            passes = 2 if "tri2x" in _ABLATE else 1
+            for _ in range(passes):
+                for k in range(n_tris):
+                    tl = sl * SUB_TRIS + k
+                    best = tri_body(ci * cluster_size + tl,
+                                    tref, tri_base + tl * 9,
+                                    nref, norm_base + tl * 9, best)
             best_t[rr] = best[0]
             if not any_hit:
                 best_i[rr] = best[1]
                 best_nx[rr] = best[2]
                 best_ny[rr] = best[3]
-                if not defer_norms:
+                if not defer_norms or rational:
                     best_nz[rr] = best[4]
 
         return visit_sub
@@ -500,15 +630,25 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # at 16 regardless (bit == DMA ring slot).
     _sub_bits = int(os.environ.get("RRT_SUBWORD", "32"))
 
+    _dup_subs = "sub2x" in _ABLATE  # per-visit cost instrument (see
+                                    # gated_loop); output bit-identical
+
     if stream is None:
         def visit_cluster(ci):
-            gated_loop(
-                subs_sm, ci * subs_per_cluster * 6, jnp.int32(0),
-                subs_per_cluster,
-                visit_subs(ci, tri_sm, ci * cluster_size * 9,
-                           norm_sm, ci * cluster_size * 9),
-                bits_per_word=_sub_bits,
-            )
+            vs = visit_subs(ci, tri_sm, ci * cluster_size * 9,
+                            norm_sm, ci * cluster_size * 9)
+            if subs_per_cluster == 1:
+                # RRT_SUBTRIS == cluster_size: no sub level at all — the
+                # cluster gate already passed, so go straight to the
+                # triangles (saves the one-box slab test, its OR
+                # reduction, and the set-bit trip per cluster visit).
+                vs(jnp.int32(0))
+            else:
+                gated_loop(
+                    subs_sm, ci * subs_per_cluster * 6, jnp.int32(0),
+                    subs_per_cluster, vs,
+                    bits_per_word=_sub_bits, dup=_dup_subs,
+                )
 
         pre = None
     else:
@@ -516,11 +656,14 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             slot = ci % N_STREAM_SLOTS  # == its gating-word bit
             _rec_dma(ci, slot).wait()
             base = slot * rec_len
-            gated_loop(
-                rec_scratch, base, jnp.int32(0), subs_per_cluster,
-                visit_subs(ci, rec_scratch, base + tri_off,
-                           None, 0),
-            )
+            vs = visit_subs(ci, rec_scratch, base + tri_off, None, 0)
+            if subs_per_cluster == 1:
+                vs(jnp.int32(0))  # see resident branch
+            else:
+                gated_loop(
+                    rec_scratch, base, jnp.int32(0), subs_per_cluster,
+                    vs, dup=_dup_subs,
+                )
 
         pre = _issue_dmas
 
@@ -555,6 +698,19 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_clusters,
                    visit_cluster, pre_visit=pre,
                    bits_per_word=cluster_bits)
+
+    # ---- Rational resolve: three divisions per TRAVERSAL convert the
+    # carried (num, den) winner back to real (t, u, v); unhit lanes keep
+    # num = tmax, den = 1 exactly. Direct IEEE divides (not reciprocal-
+    # multiply): a correctly-rounded divide is one op XLA cannot
+    # re-associate, so the per-slot and batched-slot programs compute
+    # bit-identical values — mul-by-reciprocal measured 1-ulp different
+    # between the two program shapes under XLA:CPU contraction.
+    if rational and not any_hit:
+        den = best_nz[rr]
+        best_t[rr] = best_t[rr] / den
+        best_nx[rr] = best_nx[rr] / den
+        best_ny[rr] = best_ny[rr] / den
 
     # ---- Deferred winner-normal resolve: ONE windowed gather pass over
     # the tile's winner triangle ids (Morton-coherent, so the id window is
@@ -607,8 +763,14 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             nx, ny, nz = accs
         else:
             big = jnp.int32(2 ** 30)
-            q_lo = _roll_tree(jnp.where(hitm, q, big), jnp.minimum)
-            q_hi = _roll_tree(jnp.where(hitm, q, -1), jnp.maximum)
+            # Both window trees before either scalar extract: one pipe
+            # drain for the pair (see envmap_pallas._window_scalars).
+            lo_plane = _roll_tree_plane(jnp.where(hitm, q, big),
+                                        jnp.minimum)
+            hi_plane = _roll_tree_plane(jnp.where(hitm, q, -1),
+                                        jnp.maximum)
+            q_lo = lo_plane[0, 0]
+            q_hi = hi_plane[0, 0]
             g0 = (q_lo // _SUB) * _SUB
             n_groups = q_hi // _SUB - q_lo // _SUB + 1  # <=0: no lane hit
             nx, ny, nz = jax.lax.fori_loop(

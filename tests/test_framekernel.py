@@ -168,6 +168,37 @@ def test_subword_bit_parity(sphere_scene, bits, monkeypatch):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("knob", ["tri2x", "sub2x"])
+def test_duplication_instruments_parity(sphere_scene, knob, monkeypatch):
+    """The tri2x/sub2x timing instruments repeat idempotent work (the
+    strict `<` winner test re-rejects every already-accepted candidate),
+    so the hit set — and thus the workload of every later bounce round —
+    is unchanged: that is what makes their device-time delta an
+    uncontaminated cost attribution (unlike tri1/notri, which change the
+    hit set). The comparison is near-equality, not bit-equality: the
+    duplicated loop is a different XLA program, and XLA:CPU's
+    shape-dependent FMA contraction perturbs results by a couple of ulp
+    (measured max 2.4e-7 on this fixture) without flipping any winner."""
+    import refraction_tpu.kernels.intersect_pallas as ip
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+    from refraction_tpu.kernels import framekernel as fk
+
+    fk.frame_call.clear_cache()
+    a = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                      interpret=True))
+    monkeypatch.setattr(ip, "_ABLATE", frozenset({knob}))
+    fk.frame_call.clear_cache()
+    try:
+        b = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                          interpret=True))
+    finally:
+        fk.frame_call.clear_cache()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
+
+
 def test_fused_streamed_matches_resident(sphere_scene):
     """HBM-record streaming traversal (the size-agnostic path) is
     bit-identical to the SMEM-resident path; also covers DMA issue/wait
