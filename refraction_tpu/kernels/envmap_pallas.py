@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.config import REF_PI_ENVMAP
-from refraction_tpu.kernels.intersect_pallas import _ABLATE, iter_set_bits
+from refraction_tpu.kernels.intersect_pallas import (
+    _ABLATE, _PAIR, _bit_index, iter_set_bits)
 from refraction_tpu.scene import Scene
 from refraction_tpu.utils.fastmath import acos, atan2
 
@@ -402,19 +403,22 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
 
             # Inline popcount iteration carrying code_acc (pl.when is
             # statement-only; an empty word exits the while immediately).
+            # RRT_PAIR: two groups per trip — cvisit is an overwrite-
+            # select (idempotent), so the odd-count duplicate visit is
+            # bit-identical and the trip-boundary count halves (see
+            # intersect_pallas.iter_set_bits_paired).
             def body(c):
                 w, acc = c
                 iso = jnp.bitwise_and(w, jnp.int32(0) - w)
-                b = jnp.int32(0)
-                for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
-                                    (4, 0xF0F0F0F0), (8, 0xFF00FF00),
-                                    (16, 0xFFFF0000)):
-                    mk = jnp.int32(np.int32(np.uint32(mask)))
-                    b = b + jnp.where(
-                        jnp.bitwise_and(iso, mk) != 0,
-                        jnp.int32(shift), jnp.int32(0))
+                b = _bit_index(iso)
                 acc = cvisit(wi * _WORD + b, acc)
-                return jnp.bitwise_xor(w, iso), acc
+                if not _PAIR:
+                    return jnp.bitwise_xor(w, iso), acc
+                w2 = jnp.bitwise_xor(w, iso)
+                iso2 = jnp.bitwise_and(w2, jnp.int32(0) - w2)
+                b2 = jnp.where(w2 != 0, _bit_index(iso2), b)
+                acc = cvisit(wi * _WORD + b2, acc)
+                return jnp.bitwise_xor(w2, iso2), acc
 
             _, code_acc = jax.lax.while_loop(
                 lambda c: c[0] != 0, body, (word, code_acc))

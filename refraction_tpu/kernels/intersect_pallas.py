@@ -54,6 +54,17 @@ _ABLATE = frozenset(
 # rounding of the cross-multiplied compare) can flip a winner.
 _RATIONAL = os.environ.get("RRT_RATIONAL", "0") != "0"
 
+# Paired set-bit iteration (RRT_PAIR, see iter_set_bits_paired): process
+# two gated visits per scalar-loop trip at the SUB level and in the coded
+# env scan — the levels whose visit bodies are cheap vector work, so a
+# duplicated (idempotent) visit on odd counts costs ~nothing while the
+# trip count halves. Cluster/super levels stay unpaired: their visit
+# bodies contain whole sub scans, where an odd-count duplicate would
+# re-run microseconds of work. Default ON — measured (device medians,
+# 1080p): monkey 4-bounce 14.72 -> 14.21 ms, ott 5-bounce 41.58 ->
+# 40.62, shell 1024x768 5-bounce 11.85 -> 11.71. RRT_PAIR=0 reverts.
+_PAIR = os.environ.get("RRT_PAIR", "1") != "0"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,27 +144,99 @@ def rec_pad_for(cluster_size: int) -> int:
 N_STREAM_SLOTS = 16  # one SMEM record slot per gating-word bit
 
 
+def _bit_index(iso):
+    """Index of an isolated bit via five mask tests (Mosaic lowers
+    neither scalar popcount nor scalar bitcast). iso == 0 reads 0."""
+    b = jnp.int32(0)
+    for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
+                        (4, 0xF0F0F0F0), (8, 0xFF00FF00),
+                        (16, 0xFFFF0000)):
+        mk = jnp.int32(np.int32(np.uint32(mask)))
+        b = b + jnp.where(
+            jnp.bitwise_and(iso, mk) != 0,
+            jnp.int32(shift), jnp.int32(0))
+    return b
+
+
 def iter_set_bits(word, visit):
     """Scalar loop over the SET bits of ``word`` (int32), ascending:
-    one while-loop trip per set bit — isolate the lowest bit, index it
-    via five mask tests (Mosaic lowers neither scalar popcount nor
-    scalar bitcast), visit, clear. Bit 31 (the int32 sign bit) works:
-    ``w & -w`` of INT_MIN is INT_MIN and its masks read index 31."""
+    one while-loop trip per set bit — isolate the lowest bit, index it,
+    visit, clear. Bit 31 (the int32 sign bit) works: ``w & -w`` of
+    INT_MIN is INT_MIN and its masks read index 31."""
 
     def body(w):
         iso = jnp.bitwise_and(w, jnp.int32(0) - w)
-        b = jnp.int32(0)
-        for shift, mask in ((1, 0xAAAAAAAA), (2, 0xCCCCCCCC),
-                            (4, 0xF0F0F0F0), (8, 0xFF00FF00),
-                            (16, 0xFFFF0000)):
-            mk = jnp.int32(np.int32(np.uint32(mask)))
-            b = b + jnp.where(
-                jnp.bitwise_and(iso, mk) != 0,
-                jnp.int32(shift), jnp.int32(0))
-        visit(b)
+        visit(_bit_index(iso))
         return jnp.bitwise_xor(w, iso)
 
     jax.lax.while_loop(lambda w: w != 0, body, word)
+
+
+def iter_set_bits_paired(word, visit):
+    """iter_set_bits processing TWO set bits per while-loop trip.
+
+    The per-visit floor is the loop-trip boundary itself (~0.5-1 us of
+    scalar-core serialization per trip — the sub2x instrument measured
+    ~8.9 ms of ott's frame in visit overhead vs ~2 ms of actual MT
+    vector math), so halving the trip count nearly halves that floor.
+    When an odd number of bits remain, the LAST trip visits its single
+    bit twice — callers must pass an IDEMPOTENT visit (the traversal's
+    strict `<` winner test and the coded env scan's overwrite-select
+    both re-reject/re-produce the identical result on a duplicate
+    visit, so the output is bit-identical to the unpaired loop; the
+    duplicate costs only the visit's vector ops, not another trip).
+    Ascending order is preserved (b1 < b2), so closest-hit tie-breaking
+    matches the dense scan exactly like iter_set_bits."""
+
+    def body(w):
+        iso1 = jnp.bitwise_and(w, jnp.int32(0) - w)
+        b1 = _bit_index(iso1)
+        w2 = jnp.bitwise_xor(w, iso1)
+        iso2 = jnp.bitwise_and(w2, jnp.int32(0) - w2)
+        b2 = jnp.where(w2 != 0, _bit_index(iso2), b1)
+        visit(b1)
+        visit(b2)
+        return jnp.bitwise_xor(w2, iso2)
+
+    jax.lax.while_loop(lambda w: w != 0, body, word)
+
+
+def iter_set_bits_carry(word, visit, carry, pair=False):
+    """iter_set_bits threading a tuple ``carry`` of values through the
+    visits: ``visit(b, carry) -> carry``; returns the final carry.
+
+    This is how the traversal keeps its winner state in REGISTERS across
+    a whole subcluster scan instead of bouncing it through VMEM scratch
+    once per visit. Measured ~NEUTRAL on device (1080p medians: ott
+    40.62 -> 40.51, monkey 14.21 -> 14.19, shell 11.71 -> 11.69) —
+    Mosaic evidently already hides the scratch round-trip, so the
+    sub2x-instrument's ~8.9 ms/frame per-visit overhead on ott is the
+    loop-trip serialization itself, not winner-state traffic. Kept:
+    never loses, and it makes the winner-state movement explicit (one
+    scratch read/write per CLUSTER visit instead of per subcluster).
+    Visit order is ascending like iter_set_bits, so the threaded
+    updates are order-identical to the scratch version.
+
+    ``pair=True`` processes two set bits per trip with the same
+    idempotent-duplicate contract as iter_set_bits_paired."""
+
+    def body(c):
+        w = c[0]
+        cr = c[1:]
+        iso1 = jnp.bitwise_and(w, jnp.int32(0) - w)
+        cr = visit(_bit_index(iso1), cr)
+        w1 = jnp.bitwise_xor(w, iso1)
+        if not pair:
+            return (w1,) + tuple(cr)
+        iso2 = jnp.bitwise_and(w1, jnp.int32(0) - w1)
+        b2 = jnp.where(w1 != 0, _bit_index(iso2),
+                       _bit_index(iso1))
+        cr = visit(b2, cr)
+        return (jnp.bitwise_xor(w1, iso2),) + tuple(cr)
+
+    out = jax.lax.while_loop(lambda c: c[0] != 0, body,
+                             (word,) + tuple(carry))
+    return out[1:]
 
 
 # Clusters per coarse third-level AABB (hier mode): SUPER_CLUSTERS,
@@ -307,7 +390,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                       # SMEM ring slot per bit, so fixed at 16 there)
 
     def gated_loop(bounds_ref, base, start, count, visit, pre_visit=None,
-                   bits_per_word=32, dup=False):
+                   bits_per_word=32, dup=False, pair=False, carry=None):
         """For i in [start, start+count): visit(i) iff any live lane
         overlaps AABB i, whose bounds live at ``bounds_ref[base + i*6]``.
         ``count`` is static; ``base``/``start`` may be traced.
@@ -318,7 +401,15 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         reduction per box (32-bit words halve the reduction count vs 16;
         the streaming path uses 16 because each bit indexes a DMA ring
         slot). ``pre_visit(word, rel0)``, if given, runs between the
-        reduction and the visits (DMA issue hook for streaming)."""
+        reduction and the visits (DMA issue hook for streaming).
+
+        With ``carry`` (a tuple; sub level) visits thread it in
+        registers — ``visit(i, carry) -> carry`` — and gated_loop
+        returns the final carry. The improvability bits still read the
+        best_t SCRATCH, which during a carried scan is exactly the scan-
+        start state — the same staleness the unrolled all-words-first
+        path already has, so visit sets and winners are unchanged.
+        Incompatible with ``pre_visit`` (pl.when is statement-only)."""
         n_groups = (count + bits_per_word - 1) // bits_per_word
 
         def group_bits(rel0, n_boxes=None):
@@ -362,26 +453,44 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 )
             return bits
 
-        def word_visits(word, rel0):
-            @pl.when(word != 0)
-            def _():
-                if pre_visit is not None:
-                    pre_visit(word, start + rel0)
-
-                # One scalar-loop trip per SET bit, ascending (same visit
-                # order as a dense scan, so closest-hit tie-breaking is
-                # unchanged). ``dup`` (the "sub2x" instrument) runs every
-                # visit twice — idempotent, bit-identical output — so the
-                # time delta isolates the full per-visit cost (trip +
-                # loads + MT + winner-state traffic).
+        def word_visits(word, rel0, cr=None):
+            # One scalar-loop trip per SET bit, ascending (same visit
+            # order as a dense scan, so closest-hit tie-breaking is
+            # unchanged). ``dup`` (the "sub2x" instrument) runs every
+            # visit twice — idempotent, bit-identical output — so the
+            # time delta isolates the full per-visit cost (trip +
+            # loads + MT + winner-state traffic).
+            if carry is not None:
+                assert pre_visit is None
                 if dup:
-                    def _visit2(b):
-                        visit(start + rel0 + b)
-                        visit(start + rel0 + b)
-
-                    iter_set_bits(word, _visit2)
+                    def _v(b, c):
+                        c = visit(start + rel0 + b, c)
+                        return visit(start + rel0 + b, c)
                 else:
-                    iter_set_bits(word, lambda b: visit(start + rel0 + b))
+                    def _v(b, c):
+                        return visit(start + rel0 + b, c)
+
+                return iter_set_bits_carry(word, _v, cr, pair=pair)
+            if dup:
+                def _visit1(b):
+                    visit(start + rel0 + b)
+                    visit(start + rel0 + b)
+            else:
+                def _visit1(b):
+                    visit(start + rel0 + b)
+
+            it = iter_set_bits_paired if pair else iter_set_bits
+            if pre_visit is None:
+                # No pl.when gate: the while loop's own ``w != 0``
+                # condition self-gates an empty word, and every branch
+                # region is a Mosaic pipeline boundary (the measured
+                # +1.15 us/word SUBWORD cost is control flow, not reads).
+                it(word, _visit1)
+            else:
+                @pl.when(word != 0)
+                def _():
+                    pre_visit(word, start + rel0)
+                    it(word, _visit1)
 
         if n_groups <= 4:
             # Statically small scan (every shipped scene's cluster, super
@@ -407,11 +516,25 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             # Extract AFTER all trees are issued (or_reduce_scalar embeds
             # its extract, which would re-serialize tree/read/tree/read).
             words = [p[0, 0] for p in planes]
+            if carry is not None:
+                cr = tuple(carry)
+                for g, word in enumerate(words):
+                    cr = word_visits(word, g * bits_per_word, cr)
+                return cr
             for g, word in enumerate(words):
                 word_visits(word, g * bits_per_word)
         else:
             # Large streamed scans (e.g. C=320 at cluster level): rolled
             # loop, one drain per word.
+            if carry is not None:
+                def group_body_c(g, cr):
+                    rel0 = g * bits_per_word
+                    return word_visits(
+                        or_reduce_scalar(group_bits(rel0)), rel0, cr)
+
+                return jax.lax.fori_loop(0, n_groups, group_body_c,
+                                         tuple(carry))
+
             def group_body(g, _):
                 rel0 = g * bits_per_word
                 word_visits(or_reduce_scalar(group_bits(rel0)), rel0)
@@ -574,24 +697,41 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         bz = jnp.where(upd, na2 + u * nb2 + v * nc2, bz)
         return bt, bi, bx, by, bz
 
-    def visit_subs(ci, tref, tri_base, nref, norm_base):
-        """Fine level for one cluster: bitmask-gated 8-tri subclusters,
-        fully unrolled with register-carried winner state (one scratch
-        read + one write per subcluster)."""
+    def read_best():
+        """Winner state, scratch -> registers (once per cluster visit)."""
+        if any_hit:
+            return (best_t[rr],)
+        if defer_norms:
+            # best_nx/best_ny double as winner-u / winner-v storage
+            # until the resolve pass overwrites them with normals
+            # (rational mode adds best_nz as the winner denominator).
+            best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr])
+            if rational:
+                best = best + (best_nz[rr],)
+            return best
+        return (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr],
+                best_nz[rr])
 
-        def visit_sub(sl):
-            if any_hit:
-                best = (best_t[rr],)
-            elif defer_norms:
-                # best_nx/best_ny double as winner-u / winner-v storage
-                # until the resolve pass overwrites them with normals
-                # (rational mode adds best_nz as the winner denominator).
-                best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr])
-                if rational:
-                    best = best + (best_nz[rr],)
-            else:
-                best = (best_t[rr], best_i[rr], best_nx[rr], best_ny[rr],
-                        best_nz[rr])
+    def write_best(best):
+        best_t[rr] = best[0]
+        if not any_hit:
+            best_i[rr] = best[1]
+            best_nx[rr] = best[2]
+            best_ny[rr] = best[3]
+            if not defer_norms or rational:
+                best_nz[rr] = best[4]
+
+    def visit_subs(ci, tref, tri_base, nref, norm_base):
+        """Fine level for one cluster: bitmask-gated 8-tri subclusters.
+        The winner state is threaded through the scan as a register
+        carry — visit_sub(sl, best) -> best — so scratch is touched once
+        per CLUSTER visit (read_best/write_best in visit_cluster), not
+        once per subcluster. Measured ~neutral (see iter_set_bits_carry)
+        — the per-visit floor is the scalar-loop trip, not scratch
+        traffic — but the register carry never loses and makes the
+        state movement explicit."""
+
+        def visit_sub(sl, best):
             # "tri1" ablation: ONE MT test per visit instead of SUB_TRIS —
             # wrong image AND wrong workload (fewer hits -> emptier later
             # rounds), so it UNDERSTATES real tri cost; "tri2x" is the
@@ -608,13 +748,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                     best = tri_body(ci * cluster_size + tl,
                                     tref, tri_base + tl * 9,
                                     nref, norm_base + tl * 9, best)
-            best_t[rr] = best[0]
-            if not any_hit:
-                best_i[rr] = best[1]
-                best_nx[rr] = best[2]
-                best_ny[rr] = best[3]
-                if not defer_norms or rational:
-                    best_nz[rr] = best[4]
+            return best
 
         return visit_sub
 
@@ -642,13 +776,14 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 # cluster gate already passed, so go straight to the
                 # triangles (saves the one-box slab test, its OR
                 # reduction, and the set-bit trip per cluster visit).
-                vs(jnp.int32(0))
+                write_best(vs(jnp.int32(0), read_best()))
             else:
-                gated_loop(
+                write_best(gated_loop(
                     subs_sm, ci * subs_per_cluster * 6, jnp.int32(0),
                     subs_per_cluster, vs,
-                    bits_per_word=_sub_bits, dup=_dup_subs,
-                )
+                    bits_per_word=_sub_bits, dup=_dup_subs, pair=_PAIR,
+                    carry=read_best(),
+                ))
 
         pre = None
     else:
@@ -658,12 +793,12 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             base = slot * rec_len
             vs = visit_subs(ci, rec_scratch, base + tri_off, None, 0)
             if subs_per_cluster == 1:
-                vs(jnp.int32(0))  # see resident branch
+                write_best(vs(jnp.int32(0), read_best()))
             else:
-                gated_loop(
+                write_best(gated_loop(
                     rec_scratch, base, jnp.int32(0), subs_per_cluster,
-                    vs, dup=_dup_subs,
-                )
+                    vs, dup=_dup_subs, pair=_PAIR, carry=read_best(),
+                ))
 
         pre = _issue_dmas
 

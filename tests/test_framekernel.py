@@ -199,6 +199,39 @@ def test_duplication_instruments_parity(sphere_scene, knob, monkeypatch):
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
 
 
+def test_pair_bit_parity(sphere_scene, monkeypatch):
+    """RRT_PAIR=1 (two gated visits per scalar-loop trip, sub level +
+    coded env scan) must be near-identical to the unpaired loop: the
+    visit SET and ORDER are unchanged (pairs are consumed ascending),
+    and the odd-count duplicate visit is idempotent — the traversal's
+    strict `<` winner test re-rejects the just-accepted candidate and
+    the coded env scan overwrite-selects the same texel. Near-equality
+    (not bit-equality) for the same reason as the duplication
+    instruments: the paired loop is a different XLA:CPU program shape."""
+    import refraction_tpu.kernels.envmap_pallas as ep
+    import refraction_tpu.kernels.intersect_pallas as ip
+    from refraction_tpu.kernels import framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+
+    monkeypatch.setattr(ip, "_PAIR", False)
+    monkeypatch.setattr(ep, "_PAIR", False)
+    fk.frame_call.clear_cache()
+    a = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                      interpret=True))
+    monkeypatch.setattr(ip, "_PAIR", True)
+    monkeypatch.setattr(ep, "_PAIR", True)
+    fk.frame_call.clear_cache()
+    try:
+        b = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                          interpret=True))
+    finally:
+        fk.frame_call.clear_cache()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
+
+
 def test_fused_streamed_matches_resident(sphere_scene):
     """HBM-record streaming traversal (the size-agnostic path) is
     bit-identical to the SMEM-resident path; also covers DMA issue/wait
