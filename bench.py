@@ -59,7 +59,7 @@ BASELINE_MRAYS = 500.0
 BASELINE_FPS = 30.0
 
 
-def _wait_for_healthy_device(max_wait_s=900):
+def _wait_for_healthy_device(max_wait_s=240):
     """Pre-flight for unattended runs: the dev TPU is reached through a
     relay that intermittently wedges on D2H (a plain matmul+np.asarray
     hangs forever in jax.Array._value, then recovers minutes later).
@@ -81,7 +81,7 @@ def _wait_for_healthy_device(max_wait_s=900):
         attempt += 1
         try:
             r = subprocess.run([sys.executable, "-c", probe],
-                               timeout=240, capture_output=True)
+                               timeout=90, capture_output=True)
             if r.returncode == 0:
                 if attempt > 1:
                     print(f"bench: device healthy after {attempt} probes",
@@ -94,8 +94,8 @@ def _wait_for_healthy_device(max_wait_s=900):
                   "attempts; proceeding anyway", file=sys.stderr)
             return False
         print(f"bench: device probe failed (attempt {attempt}); relay may "
-              "be wedged, retrying in 60 s", file=sys.stderr)
-        time.sleep(60)
+              "be wedged, retrying in 30 s", file=sys.stderr)
+        time.sleep(30)
 
 
 def count_live_rays(scene, cfg):
@@ -237,6 +237,19 @@ def _batched_dispatch_dt(scene, cfg, n_bursts=4, batch=32):
 
 
 def main():
+    """Timeout-proof contract (VERDICT round-3 item 1): the FULL cumulative
+    JSON line is printed (and flushed) immediately after the headline
+    measurement, then RE-printed after every completed extra (ref_demo,
+    ott, config5, spp4, compile80k). A driver timeout anywhere loses only
+    the extras not yet measured — the last complete line on stdout is
+    always a valid artifact. ``RRT_BENCH_BUDGET_S`` (default 1800 s wall)
+    skips remaining extras once exceeded."""
+    t_start = time.time()
+    budget_s = float(os.environ.get("RRT_BENCH_BUDGET_S", "1800"))
+
+    def budget_left():
+        return budget_s - (time.time() - t_start)
+
     small = bool(os.environ.get("RRT_BENCH_SMALL"))
     if not small:
         _wait_for_healthy_device()
@@ -260,7 +273,6 @@ def main():
     float(jnp.sum(img[0, 0]))
     compile_s = time.time() - t0
 
-    live_rays = count_live_rays(scene, cfg)
     dense_rays = rays_per_frame(cfg)
 
     # Per-frame latency, full sync included (relay RTT and all).
@@ -290,129 +302,9 @@ def main():
     dt = (time.time() - t0) / n_loop
     dt = min(dt, lat)
 
-    # Batched-dispatch throughput: BATCH frames per jit call (offline
-    # animation regime; amortizes the per-dispatch host cost). Pallas
-    # only — on the XLA backend (CPU small-mode smoke) there is no
-    # frame_call to batch, and the loop regime above already covers it.
-    if backend.name == "pallas":
-        dt = min(dt, _batched_dispatch_dt(scene, cfg))
-
-    dev_ms = device_kernel_ms(render, scene, cfg)
-
-    # Reference-demo config (shell.obj at 1024x768, 5 bounces — exactly
-    # what the reference renders: RefractionDemo.cpp:537,589-590, bounce
-    # caps RayTracing.hlsl:82,110). The reference Presents with vsync
-    # interval 1 and stalls every frame (RefractionDemo.cpp:609-611), so
-    # its ceiling is the 60 Hz refresh; our device time at the same
-    # config is the apples-to-apples "beat the reference on its own
-    # benchmark" number. Guarded: never breaks the headline line.
-    if small:
-        # The CPU smoke only checks the JSON contract; a 1024x768 XLA:CPU
-        # compile takes tens of minutes and proves nothing.
-        ref_demo = {"ref_demo_note": "skipped (RRT_BENCH_SMALL)"}
-    else:
-        try:
-            cfg_ref = RenderConfig(
-                width=1024, height=768,
-                scene_path=os.path.join(
-                    os.environ.get("RRT_ASSET_DIR", "/root/reference"),
-                    "shell.obj"),
-                backend="auto", cluster_size=None)
-            scene_ref, _ = load_scene(cfg_ref)
-            scene_ref = scene_to_device(scene_ref)
-            render_ref = make_renderer(cfg_ref)
-            img_r = render_ref(scene_ref, orbit_camera(0.01, cfg_ref))
-            float(jnp.sum(img_r[0, 0]))
-            ref_ms = device_kernel_ms(render_ref, scene_ref, cfg_ref)
-            ref_demo = {}
-            if ref_ms:
-                ref_demo = {
-                    "ref_demo_device_ms": round(ref_ms, 1),
-                    "ref_demo_fps_device": round(1e3 / ref_ms, 1),
-                    "ref_demo_note": "shell.obj 1024x768 5-bounce, the "
-                                     "reference's exact demo config; the "
-                                     "reference itself is vsync-locked to "
-                                     "<=60 FPS (Present(1,0) + full stall, "
-                                     "RefractionDemo.cpp:609-611)",
-                }
-        except Exception as e:  # pragma: no cover - diagnostic only
-            ref_demo = {"ref_demo_error": repr(e)}
-
-    # Stress asset (ott.obj "Robin", 12,877 tris — the reference's largest
-    # scene) at the demo's bounce caps, 1080p: the round-2 verdict's
-    # second perf target (<= 33 ms device = >= 30 FPS). Guarded like
-    # ref_demo so it can never break the headline JSON line.
-    if not small:
-        try:
-            cfg_ott = RenderConfig(
-                width=1920, height=1080,
-                scene_path=os.path.join(
-                    os.environ.get("RRT_ASSET_DIR", "/root/reference"),
-                    "ott.obj"),
-                max_refract_depth=5, backend="auto", cluster_size=None)
-            scene_ott, _ = load_scene(cfg_ott)
-            scene_ott = scene_to_device(scene_ott)
-            render_ott = make_renderer(cfg_ott)
-            img_o = render_ott(scene_ott, orbit_camera(0.01, cfg_ott))
-            float(jnp.sum(img_o[0, 0]))
-            ott_ms = device_kernel_ms(render_ott, scene_ott, cfg_ott, n=6,
-                                      agg=median)
-            if ott_ms:
-                ref_demo.update({
-                    "ott_device_ms": round(ott_ms, 1),
-                    "ott_fps_device": round(1e3 / ott_ms, 1),
-                    "ott_note": "ott.obj 1920x1080 5-bounce (stress asset, "
-                                "12,877 tris)",
-                })
-        except Exception as e:  # pragma: no cover - diagnostic only
-            ref_demo["ott_error"] = repr(e)
-
-    # Cold-compile budget (VERDICT round-2 item 4): wall seconds to
-    # trace+compile the fused kernel for the 81,920-tri streamed config
-    # with a FRESH compilation cache, measured in a subprocess
-    # (tools/compiletime.py) so this process's warm cache can't flatter
-    # it. Guarded: never breaks the headline line.
-    if not small:
-        try:
-            import subprocess
-
-            r = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tools", "compiletime.py"),
-                 "6", "1920", "1080", "4"],
-                timeout=900, capture_output=True, text=True)
-            cold = json.loads(r.stdout.strip().splitlines()[-1])
-            ref_demo["compile80k_cold_s"] = cold["compile_s"]
-        except Exception as e:  # pragma: no cover - diagnostic only
-            ref_demo["compile80k_error"] = repr(e)
-
-    # spp=4 variant (VERDICT round-1 item 5 / BASELINE config 5 regime):
-    # all four samples trace inside ONE kernel dispatch per frame, so the
-    # fixed per-frame overhead (host dispatch, relay RTT, raygen setup)
-    # amortizes over 4x the rays. Reported as its own rays/s figure.
-    cfg4 = cfg.replace(spp=4)
-    render4 = make_renderer(cfg4)
-    img4 = render4(scene, orbit_camera(0.01, cfg4))
-    float(jnp.sum(img4[0, 0]))
-    prev = None
-    t0 = time.time()
-    n4 = 6
-    for k in range(n4):
-        img4 = render4(scene, orbit_camera(0.1 + 0.013 * k, cfg4))
-        s = jnp.sum(img4[0, 0])
-        if prev is not None:
-            float(prev)
-        prev = s
-    float(prev)
-    dt4 = (time.time() - t0) / n4
-    live4 = live_rays * 4  # count_live_rays scales by cfg.spp
-    mrays4 = live4 / dt4 / 1e6
-
-    mrays = live_rays / dt / 1e6
+    # ---- Headline result: monkey.obj 1080p 4-bounce, loop regime ----
     fps = 1.0 / dt
-
-    print(json.dumps({
+    result = {
         "metric": ("FPS, monkey.obj 256x128 4-bounce (RRT_BENCH_SMALL smoke)"
                    if small else
                    "FPS, monkey.obj 1920x1080 4-bounce refraction, 1 chip"),
@@ -421,9 +313,6 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
         "frame_ms": round(dt * 1e3, 1),
         "frame_latency_ms": round(lat * 1e3, 1),
-        "device_ms": round(dev_ms, 1) if dev_ms else None,
-        "mrays_live": round(mrays, 1),
-        "mrays_live_vs_500": round(mrays / BASELINE_MRAYS, 3),
         "mrays_dense": round(dense_rays / dt / 1e6, 1),
         "mrays_dense_vs_500": round(dense_rays / dt / 1e6 / BASELINE_MRAYS,
                                     3),
@@ -431,17 +320,220 @@ def main():
                       "(~1.3/pixel at spp=1); dense = wavefront slot-rounds "
                       "(15/pixel tree bound). 500 Mrays/s at 30 FPS implies "
                       "~16.7M rays/frame — the tree-bound numerator.",
-        "spp4_mrays_live": round(mrays4, 1),
-        "spp4_frame_ms": round(dt4 * 1e3, 1),
-        "spp4_rays_vs_spp1": round(mrays4 / mrays, 2),
-        "live_rays_per_frame": live_rays,
         "dense_rays_per_frame": dense_rays,
         "tris": meta.num_real_tris,
         "backend": backend.name,
         "device": str(jax.devices()[0]),
         "compile_s": round(compile_s, 1),
-        **ref_demo,
-    }))
+    }
+
+    def emit():
+        """Print the FULL cumulative JSON line and flush. Called after the
+        headline and after every completed extra so a driver timeout at
+        any point still leaves a complete, parseable artifact as the last
+        stdout line (VERDICT round-3 item 1)."""
+        print(json.dumps(result), flush=True)
+
+    def refresh_fps(new_dt):
+        nonlocal dt
+        if new_dt < dt:
+            dt = new_dt
+            result["value"] = round(1.0 / dt, 2)
+            result["vs_baseline"] = round(1.0 / dt / BASELINE_FPS, 3)
+            result["frame_ms"] = round(dt * 1e3, 1)
+            result["mrays_dense"] = round(dense_rays / dt / 1e6, 1)
+            result["mrays_dense_vs_500"] = round(
+                dense_rays / dt / 1e6 / BASELINE_MRAYS, 3)
+            if "mrays_live" in result:
+                result["mrays_live"] = round(live_rays / dt / 1e6, 1)
+                result["mrays_live_vs_500"] = round(
+                    live_rays / dt / 1e6 / BASELINE_MRAYS, 3)
+
+    emit()  # headline is now safe whatever happens below
+
+    # ---- Extras, cheapest/highest-value first; each one re-emits. ----
+    live_rays = None
+
+    def extra(name, min_budget_s, fn):
+        """Run one guarded extra: skipped when the wall budget can't
+        plausibly cover it; exceptions become a diagnostic field; emits
+        the refreshed cumulative line either way."""
+        if budget_left() < min_budget_s:
+            result[name + "_note"] = (
+                f"skipped (RRT_BENCH_BUDGET_S: {budget_left():.0f} s left "
+                f"< {min_budget_s} s floor)")
+        else:
+            try:
+                fn()
+            except Exception as e:  # pragma: no cover - diagnostic only
+                result[name + "_error"] = repr(e)
+        emit()
+
+    def x_device_ms():
+        dev_ms = device_kernel_ms(render, scene, cfg)
+        if dev_ms:
+            result["device_ms"] = round(dev_ms, 1)
+
+    def x_live_rays():
+        nonlocal live_rays
+        live_rays = count_live_rays(scene, cfg)
+        result["live_rays_per_frame"] = live_rays
+        result["mrays_live"] = round(live_rays / dt / 1e6, 1)
+        result["mrays_live_vs_500"] = round(
+            live_rays / dt / 1e6 / BASELINE_MRAYS, 3)
+
+    def x_batched():
+        # Batched-dispatch throughput: BATCH frames per jit call (offline
+        # animation regime; amortizes the per-dispatch host cost). Pallas
+        # only — on the XLA backend (CPU small-mode smoke) there is no
+        # frame_call to batch, and the loop regime above already covers it.
+        if backend.name == "pallas":
+            refresh_fps(_batched_dispatch_dt(scene, cfg))
+
+    extra("device_ms", 30, x_device_ms)
+    extra("live_rays", 60, x_live_rays)
+    extra("batched", 120, x_batched)
+
+    if small:
+        # The CPU smoke only checks the JSON contract; a 1024x768 XLA:CPU
+        # compile takes tens of minutes and proves nothing.
+        result["ref_demo_note"] = "skipped (RRT_BENCH_SMALL)"
+        emit()
+        return
+
+    def x_ref_demo():
+        # Reference-demo config (shell.obj at 1024x768, 5 bounces —
+        # exactly what the reference renders: RefractionDemo.cpp:537,
+        # 589-590, bounce caps RayTracing.hlsl:82,110). The reference
+        # Presents with vsync interval 1 and stalls every frame
+        # (RefractionDemo.cpp:609-611), so its ceiling is the 60 Hz
+        # refresh; our device time at the same config is the
+        # apples-to-apples "beat the reference on its own benchmark"
+        # number.
+        cfg_ref = RenderConfig(
+            width=1024, height=768,
+            scene_path=os.path.join(
+                os.environ.get("RRT_ASSET_DIR", "/root/reference"),
+                "shell.obj"),
+            backend="auto", cluster_size=None)
+        scene_ref, _ = load_scene(cfg_ref)
+        scene_ref = scene_to_device(scene_ref)
+        render_ref = make_renderer(cfg_ref)
+        img_r = render_ref(scene_ref, orbit_camera(0.01, cfg_ref))
+        float(jnp.sum(img_r[0, 0]))
+        ref_ms = device_kernel_ms(render_ref, scene_ref, cfg_ref)
+        if ref_ms:
+            result.update({
+                "ref_demo_device_ms": round(ref_ms, 1),
+                "ref_demo_fps_device": round(1e3 / ref_ms, 1),
+                "ref_demo_note": "shell.obj 1024x768 5-bounce, the "
+                                 "reference's exact demo config; the "
+                                 "reference itself is vsync-locked to "
+                                 "<=60 FPS (Present(1,0) + full stall, "
+                                 "RefractionDemo.cpp:609-611)",
+            })
+
+    extra("ref_demo", 180, x_ref_demo)
+
+    # Stress asset (ott.obj "Robin", 12,877 tris — the reference's largest
+    # scene) at the demo's bounce caps, 1080p: the round-2 verdict's
+    # second perf target (<= 33 ms device = >= 30 FPS).
+    scene_ott = [None]  # kept for the config5 extra
+
+    def x_ott():
+        cfg_ott = RenderConfig(
+            width=1920, height=1080,
+            scene_path=os.path.join(
+                os.environ.get("RRT_ASSET_DIR", "/root/reference"),
+                "ott.obj"),
+            max_refract_depth=5, backend="auto", cluster_size=None)
+        sc, _ = load_scene(cfg_ott)
+        sc = scene_to_device(sc)
+        scene_ott[0] = (sc, cfg_ott)
+        render_ott = make_renderer(cfg_ott)
+        img_o = render_ott(sc, orbit_camera(0.01, cfg_ott))
+        float(jnp.sum(img_o[0, 0]))
+        ott_ms = device_kernel_ms(render_ott, sc, cfg_ott, n=6, agg=median)
+        if ott_ms:
+            result.update({
+                "ott_device_ms": round(ott_ms, 1),
+                "ott_fps_device": round(1e3 / ott_ms, 1),
+                "ott_note": "ott.obj 1920x1080 5-bounce (stress asset, "
+                            "12,877 tris)",
+            })
+
+    extra("ott", 240, x_ott)
+
+    def x_config5():
+        # BASELINE config 5: ott.obj + 4x supersampling, animated camera,
+        # 1080p (the ladder's top rung — VERDICT round-3 item 4). All 4
+        # samples trace inside one kernel dispatch.
+        if scene_ott[0] is None:
+            raise RuntimeError("ott scene unavailable (x_ott skipped?)")
+        sc, cfg_ott = scene_ott[0]
+        cfg5 = cfg_ott.replace(spp=4)
+        render5 = make_renderer(cfg5)
+        img5 = render5(sc, orbit_camera(0.01, cfg5))
+        float(jnp.sum(img5[0, 0]))
+        c5_ms = device_kernel_ms(render5, sc, cfg5, n=4, agg=median)
+        if c5_ms:
+            result.update({
+                "config5_device_ms": round(c5_ms, 1),
+                "config5_fps_device": round(1e3 / c5_ms, 1),
+                "config5_note": "BASELINE config 5: ott.obj 1920x1080 "
+                                "5-bounce spp=4 animated accumulation",
+            })
+
+    extra("config5", 240, x_config5)
+
+    def x_spp4():
+        # spp=4 variant on the headline scene (VERDICT round-1 item 5):
+        # all four samples trace inside ONE kernel dispatch per frame, so
+        # the fixed per-frame overhead (host dispatch, relay RTT, raygen
+        # setup) amortizes over 4x the rays.
+        cfg4 = cfg.replace(spp=4)
+        render4 = make_renderer(cfg4)
+        img4 = render4(scene, orbit_camera(0.01, cfg4))
+        float(jnp.sum(img4[0, 0]))
+        prev = None
+        t0 = time.time()
+        n4 = 6
+        for k in range(n4):
+            img4 = render4(scene, orbit_camera(0.1 + 0.013 * k, cfg4))
+            s = jnp.sum(img4[0, 0])
+            if prev is not None:
+                float(prev)
+            prev = s
+        float(prev)
+        dt4 = (time.time() - t0) / n4
+        result["spp4_frame_ms"] = round(dt4 * 1e3, 1)
+        if live_rays:
+            live4 = live_rays * 4  # count_live_rays scales by cfg.spp
+            result["spp4_mrays_live"] = round(live4 / dt4 / 1e6, 1)
+            result["spp4_rays_vs_spp1"] = round(
+                (live4 / dt4) / (live_rays / dt), 2)
+
+    extra("spp4", 120, x_spp4)
+
+    def x_compile80k():
+        # Cold-compile budget (VERDICT round-2 item 4): wall seconds to
+        # trace+compile the fused kernel for the 81,920-tri streamed
+        # config with a FRESH compilation cache, measured in a subprocess
+        # (tools/compiletime.py) so this process's warm cache can't
+        # flatter it.
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "compiletime.py"),
+             "6", "1920", "1080", "4"],
+            timeout=min(300, max(60, budget_left())),
+            capture_output=True, text=True)
+        cold = json.loads(r.stdout.strip().splitlines()[-1])
+        result["compile80k_cold_s"] = cold["compile_s"]
+
+    extra("compile80k", 120, x_compile80k)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,17 @@ _ABLATE = frozenset(
 # (negation and reciprocal-of-negation are exact in IEEE; x*(1/(-d)) ==
 # (-x)*(1/d)); only measure-zero boundary ties (|u+v-1|, |t-best| within
 # rounding of the cross-multiplied compare) can flip a winner.
+#
+# Scene-scale precondition (ADVICE r3): rational compares multiply two
+# det-scaled quantities (t_num*den' vs t_num'*den, and enter*cur_den in
+# the gate margin), SQUARING the determinant's f32 dynamic range. With
+# TPU flush-to-zero, dets below ~1e-19 underflow the products so `a < b`
+# reads false — a closer winner can be silently dropped or a live box
+# pruned; dets above ~1e19 overflow to inf with the same effect.
+# Degenerate/near-zero-area triangles and scenes scaled far outside
+# ~[1e-9, 1e9] units are OUT OF CONTRACT for RRT_RATIONAL=1. All shipped
+# assets (monkey/shell/ott/cube/sphere, unit-ish scale) are well inside:
+# their |det| spans ~1e-6..1e1, products ~1e-12..1e2.
 _RATIONAL = os.environ.get("RRT_RATIONAL", "0") != "0"
 
 # Paired set-bit iteration (RRT_PAIR, see iter_set_bits_paired): process

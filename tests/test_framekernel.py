@@ -232,6 +232,39 @@ def test_pair_bit_parity(sphere_scene, monkeypatch):
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
 
 
+def test_rational_bit_parity(sphere_scene, monkeypatch):
+    """RRT_RATIONAL=1 (division-free rational-t MT: winner carried as
+    (t_num', |det|), cross-multiplied compares, one resolve divide per
+    traversal) must be near-identical to the divided form: the resolved
+    t/u/v are bit-identical whenever the same winner is selected, and
+    only measure-zero boundary ties can flip one. Exercises both
+    production rational paths on this 64x32 depth-3 config — the
+    deferred-norms closest hit (every bounce round) and any-hit (last
+    round). Near-equality tolerance for the same reason as the
+    duplication instruments: a different XLA:CPU program shape contracts
+    FMAs differently (ADVICE r3: manually measured max diff 9e-8 on this
+    fixture; this test pins it in CI)."""
+    import refraction_tpu.kernels.intersect_pallas as ip
+    from refraction_tpu.kernels import framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+
+    monkeypatch.setattr(ip, "_RATIONAL", False)
+    fk.frame_call.clear_cache()
+    a = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                      interpret=True))
+    monkeypatch.setattr(ip, "_RATIONAL", True)
+    fk.frame_call.clear_cache()
+    try:
+        b = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                          interpret=True))
+    finally:
+        fk.frame_call.clear_cache()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
+
+
 def test_fused_streamed_matches_resident(sphere_scene):
     """HBM-record streaming traversal (the size-agnostic path) is
     bit-identical to the SMEM-resident path; also covers DMA issue/wait

@@ -64,4 +64,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The fresh-cache tempdir can hold large Mosaic artifacts (80k-tri
+    # 1080p programs) and bench.py spawns this on every full run — always
+    # clean it up (ADVICE r3).
+    import shutil
+
+    try:
+        main()
+    finally:
+        shutil.rmtree(_tmp, ignore_errors=True)
