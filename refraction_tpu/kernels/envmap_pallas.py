@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.config import REF_PI_ENVMAP
 from refraction_tpu.kernels.intersect_pallas import (
-    _ABLATE, _PAIR, _bit_index, iter_set_bits)
+    _ABLATE, _VISIT_W, _bit_index, iter_set_bits)
 from refraction_tpu.scene import Scene
 from refraction_tpu.utils.fastmath import acos, atan2
 
@@ -403,22 +403,22 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
 
             # Inline popcount iteration carrying code_acc (pl.when is
             # statement-only; an empty word exits the while immediately).
-            # RRT_PAIR: two groups per trip — cvisit is an overwrite-
-            # select (idempotent), so the odd-count duplicate visit is
-            # bit-identical and the trip-boundary count halves (see
-            # intersect_pallas.iter_set_bits_paired).
+            # RRT_PAIR: _VISIT_W groups per trip — cvisit is an
+            # overwrite-select (idempotent), so remainder duplicate
+            # visits are bit-identical and the trip-boundary count
+            # divides (see intersect_pallas.iter_set_bits_paired).
             def body(c):
                 w, acc = c
-                iso = jnp.bitwise_and(w, jnp.int32(0) - w)
-                b = _bit_index(iso)
-                acc = cvisit(wi * _WORD + b, acc)
-                if not _PAIR:
-                    return jnp.bitwise_xor(w, iso), acc
-                w2 = jnp.bitwise_xor(w, iso)
-                iso2 = jnp.bitwise_and(w2, jnp.int32(0) - w2)
-                b2 = jnp.where(w2 != 0, _bit_index(iso2), b)
-                acc = cvisit(wi * _WORD + b2, acc)
-                return jnp.bitwise_xor(w2, iso2), acc
+                b_prev = None
+                for _ in range(_VISIT_W):
+                    iso = jnp.bitwise_and(w, jnp.int32(0) - w)
+                    b = _bit_index(iso)
+                    if b_prev is not None:
+                        b = jnp.where(w != 0, b, b_prev)
+                    acc = cvisit(wi * _WORD + b, acc)
+                    b_prev = b
+                    w = jnp.bitwise_and(w, jnp.bitwise_not(iso))
+                return w, acc
 
             _, code_acc = jax.lax.while_loop(
                 lambda c: c[0] != 0, body, (word, code_acc))

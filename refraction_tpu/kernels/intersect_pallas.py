@@ -63,18 +63,31 @@ _ABLATE = frozenset(
 # ~[1e-9, 1e9] units are OUT OF CONTRACT for RRT_RATIONAL=1. All shipped
 # assets (monkey/shell/ott/cube/sphere, unit-ish scale) are well inside:
 # their |det| spans ~1e-6..1e1, products ~1e-12..1e2.
-_RATIONAL = os.environ.get("RRT_RATIONAL", "0") != "0"
+#
+# DEFAULT ON since round 4: device medians (1080p/ref configs, paired
+# sweeps) monkey 4-bounce 14.19 -> 13.99 ms, shell 5-bounce 11.69 ->
+# 11.61, ott 5-bounce 40.51 -> 39.68; winner parity pinned by
+# test_rational_bit_parity (defer-norms + any-hit paths). RRT_RATIONAL=0
+# reverts (and is required for out-of-contract scene scales).
+_RATIONAL = os.environ.get("RRT_RATIONAL", "1") != "0"
 
-# Paired set-bit iteration (RRT_PAIR, see iter_set_bits_paired): process
-# two gated visits per scalar-loop trip at the SUB level and in the coded
-# env scan — the levels whose visit bodies are cheap vector work, so a
-# duplicated (idempotent) visit on odd counts costs ~nothing while the
-# trip count halves. Cluster/super levels stay unpaired: their visit
-# bodies contain whole sub scans, where an odd-count duplicate would
-# re-run microseconds of work. Default ON — measured (device medians,
-# 1080p): monkey 4-bounce 14.72 -> 14.21 ms, ott 5-bounce 41.58 ->
-# 40.62, shell 1024x768 5-bounce 11.85 -> 11.71. RRT_PAIR=0 reverts.
-_PAIR = os.environ.get("RRT_PAIR", "1") != "0"
+# Multi-visit set-bit iteration (RRT_PAIR, see iter_set_bits_paired):
+# process VISIT_W gated visits per scalar-loop trip at the SUB level and
+# in the coded env scan — the levels whose visit bodies are cheap vector
+# work, so duplicated (idempotent) visits on non-multiple counts cost
+# only their vector ops while the trip count divides by VISIT_W.
+# Cluster/super levels stay unpaired: their visit bodies contain whole
+# sub scans, where a duplicate would re-run microseconds of work.
+# RRT_PAIR=0 -> 1 visit/trip, =1 (default) -> 2, =4 -> 4. Width 2
+# measured (device medians, 1080p): monkey 4-bounce 14.72 -> 14.21 ms,
+# ott 5-bounce 41.58 -> 40.62, shell 1024x768 5-bounce 11.85 -> 11.71.
+# Width 4 trades up to 3 duplicate visits per word for half the trips
+# again — wins only where gating words are DENSE (divergent secondary
+# rays); sweep per scene before flipping.
+_PAIR_ENV = os.environ.get("RRT_PAIR", "1")
+_VISIT_W = {"0": 1, "1": 2}.get(_PAIR_ENV, None) or int(_PAIR_ENV)
+assert _VISIT_W in (1, 2, 4), f"RRT_PAIR={_PAIR_ENV}: width must be 1/2/4"
+_PAIR = _VISIT_W >= 2
 
 import jax
 import jax.numpy as jnp
@@ -183,36 +196,41 @@ def iter_set_bits(word, visit):
     jax.lax.while_loop(lambda w: w != 0, body, word)
 
 
-def iter_set_bits_paired(word, visit):
-    """iter_set_bits processing TWO set bits per while-loop trip.
+def iter_set_bits_paired(word, visit, width=2):
+    """iter_set_bits processing ``width`` set bits per while-loop trip.
 
     The per-visit floor is the loop-trip boundary itself (~0.5-1 us of
     scalar-core serialization per trip — the sub2x instrument measured
     ~8.9 ms of ott's frame in visit overhead vs ~2 ms of actual MT
-    vector math), so halving the trip count nearly halves that floor.
-    When an odd number of bits remain, the LAST trip visits its single
-    bit twice — callers must pass an IDEMPOTENT visit (the traversal's
-    strict `<` winner test and the coded env scan's overwrite-select
-    both re-reject/re-produce the identical result on a duplicate
-    visit, so the output is bit-identical to the unpaired loop; the
-    duplicate costs only the visit's vector ops, not another trip).
-    Ascending order is preserved (b1 < b2), so closest-hit tie-breaking
-    matches the dense scan exactly like iter_set_bits."""
+    vector math), so dividing the trip count nearly divides that floor.
+    When fewer than ``width`` bits remain, the last trip re-visits its
+    LAST real bit for the missing ones — callers must pass an
+    IDEMPOTENT visit (the traversal's strict `<` winner test and the
+    coded env scan's overwrite-select both re-reject/re-produce the
+    identical result on a duplicate visit, so the output is
+    bit-identical to the unpaired loop; each duplicate costs only the
+    visit's vector ops, not another trip — width 4 on a 1-bit word pays
+    3 duplicate visit bodies, which is why wide widths only win where
+    the gating words are DENSE).
+    Ascending order is preserved, so closest-hit tie-breaking matches
+    the dense scan exactly like iter_set_bits."""
 
     def body(w):
-        iso1 = jnp.bitwise_and(w, jnp.int32(0) - w)
-        b1 = _bit_index(iso1)
-        w2 = jnp.bitwise_xor(w, iso1)
-        iso2 = jnp.bitwise_and(w2, jnp.int32(0) - w2)
-        b2 = jnp.where(w2 != 0, _bit_index(iso2), b1)
-        visit(b1)
-        visit(b2)
-        return jnp.bitwise_xor(w2, iso2)
+        b_prev = None
+        for _ in range(width):
+            iso = jnp.bitwise_and(w, jnp.int32(0) - w)
+            b = _bit_index(iso)
+            if b_prev is not None:
+                b = jnp.where(w != 0, b, b_prev)
+            visit(b)
+            b_prev = b
+            w = jnp.bitwise_and(w, jnp.bitwise_not(iso))
+        return w
 
     jax.lax.while_loop(lambda w: w != 0, body, word)
 
 
-def iter_set_bits_carry(word, visit, carry, pair=False):
+def iter_set_bits_carry(word, visit, carry, width=1):
     """iter_set_bits threading a tuple ``carry`` of values through the
     visits: ``visit(b, carry) -> carry``; returns the final carry.
 
@@ -228,22 +246,22 @@ def iter_set_bits_carry(word, visit, carry, pair=False):
     Visit order is ascending like iter_set_bits, so the threaded
     updates are order-identical to the scratch version.
 
-    ``pair=True`` processes two set bits per trip with the same
+    ``width`` > 1 processes that many set bits per trip with the same
     idempotent-duplicate contract as iter_set_bits_paired."""
 
     def body(c):
         w = c[0]
         cr = c[1:]
-        iso1 = jnp.bitwise_and(w, jnp.int32(0) - w)
-        cr = visit(_bit_index(iso1), cr)
-        w1 = jnp.bitwise_xor(w, iso1)
-        if not pair:
-            return (w1,) + tuple(cr)
-        iso2 = jnp.bitwise_and(w1, jnp.int32(0) - w1)
-        b2 = jnp.where(w1 != 0, _bit_index(iso2),
-                       _bit_index(iso1))
-        cr = visit(b2, cr)
-        return (jnp.bitwise_xor(w1, iso2),) + tuple(cr)
+        b_prev = None
+        for _ in range(width):
+            iso = jnp.bitwise_and(w, jnp.int32(0) - w)
+            b = _bit_index(iso)
+            if b_prev is not None:
+                b = jnp.where(w != 0, b, b_prev)
+            cr = visit(b, cr)
+            b_prev = b
+            w = jnp.bitwise_and(w, jnp.bitwise_not(iso))
+        return (w,) + tuple(cr)
 
     out = jax.lax.while_loop(lambda c: c[0] != 0, body,
                              (word,) + tuple(carry))
@@ -401,7 +419,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                       # SMEM ring slot per bit, so fixed at 16 there)
 
     def gated_loop(bounds_ref, base, start, count, visit, pre_visit=None,
-                   bits_per_word=32, dup=False, pair=False, carry=None):
+                   bits_per_word=32, dup=False, width=1, carry=None):
         """For i in [start, start+count): visit(i) iff any live lane
         overlaps AABB i, whose bounds live at ``bounds_ref[base + i*6]``.
         ``count`` is static; ``base``/``start`` may be traced.
@@ -481,7 +499,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                     def _v(b, c):
                         return visit(start + rel0 + b, c)
 
-                return iter_set_bits_carry(word, _v, cr, pair=pair)
+                return iter_set_bits_carry(word, _v, cr, width=width)
             if dup:
                 def _visit1(b):
                     visit(start + rel0 + b)
@@ -490,7 +508,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 def _visit1(b):
                     visit(start + rel0 + b)
 
-            it = iter_set_bits_paired if pair else iter_set_bits
+            it = (functools.partial(iter_set_bits_paired, width=width)
+                  if width > 1 else iter_set_bits)
             if pre_visit is None:
                 # No pl.when gate: the while loop's own ``w != 0``
                 # condition self-gates an empty word, and every branch
@@ -792,7 +811,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 write_best(gated_loop(
                     subs_sm, ci * subs_per_cluster * 6, jnp.int32(0),
                     subs_per_cluster, vs,
-                    bits_per_word=_sub_bits, dup=_dup_subs, pair=_PAIR,
+                    bits_per_word=_sub_bits, dup=_dup_subs, width=_VISIT_W,
                     carry=read_best(),
                 ))
 
@@ -808,7 +827,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             else:
                 write_best(gated_loop(
                     rec_scratch, base, jnp.int32(0), subs_per_cluster,
-                    vs, dup=_dup_subs, pair=_PAIR, carry=read_best(),
+                    vs, dup=_dup_subs, width=_VISIT_W, carry=read_best(),
                 ))
 
         pre = _issue_dmas

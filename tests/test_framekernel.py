@@ -199,15 +199,17 @@ def test_duplication_instruments_parity(sphere_scene, knob, monkeypatch):
     np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
 
 
-def test_pair_bit_parity(sphere_scene, monkeypatch):
-    """RRT_PAIR=1 (two gated visits per scalar-loop trip, sub level +
-    coded env scan) must be near-identical to the unpaired loop: the
-    visit SET and ORDER are unchanged (pairs are consumed ascending),
-    and the odd-count duplicate visit is idempotent — the traversal's
-    strict `<` winner test re-rejects the just-accepted candidate and
-    the coded env scan overwrite-selects the same texel. Near-equality
-    (not bit-equality) for the same reason as the duplication
-    instruments: the paired loop is a different XLA:CPU program shape."""
+@pytest.mark.parametrize("width", [2, 4])
+def test_pair_bit_parity(sphere_scene, monkeypatch, width):
+    """RRT_PAIR (multi-visit set-bit iteration: ``width`` gated visits
+    per scalar-loop trip, sub level + coded env scan) must be
+    near-identical to the one-visit loop: the visit SET and ORDER are
+    unchanged (bits are consumed ascending), and the remainder
+    duplicate visits are idempotent — the traversal's strict `<` winner
+    test re-rejects the just-accepted candidate and the coded env scan
+    overwrite-selects the same texel. Near-equality (not bit-equality)
+    for the same reason as the duplication instruments: the multi-visit
+    loop is a different XLA:CPU program shape."""
     import refraction_tpu.kernels.envmap_pallas as ep
     import refraction_tpu.kernels.intersect_pallas as ip
     from refraction_tpu.kernels import framekernel as fk
@@ -216,13 +218,13 @@ def test_pair_bit_parity(sphere_scene, monkeypatch):
                        max_reflect_depth=2, backend="xla")
     frame = orbit_camera(0.5, cfg)
 
-    monkeypatch.setattr(ip, "_PAIR", False)
-    monkeypatch.setattr(ep, "_PAIR", False)
+    monkeypatch.setattr(ip, "_VISIT_W", 1)
+    monkeypatch.setattr(ep, "_VISIT_W", 1)
     fk.frame_call.clear_cache()
     a = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
                                       interpret=True))
-    monkeypatch.setattr(ip, "_PAIR", True)
-    monkeypatch.setattr(ep, "_PAIR", True)
+    monkeypatch.setattr(ip, "_VISIT_W", width)
+    monkeypatch.setattr(ep, "_VISIT_W", width)
     fk.frame_call.clear_cache()
     try:
         b = np.asarray(render_frame_fused(sphere_scene, frame, cfg,

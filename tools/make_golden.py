@@ -1,14 +1,22 @@
-"""Generate the committed mid-res oracle golden (tests_tpu/golden/).
+"""Generate the committed mid-res oracle goldens (tests_tpu/golden/).
 
-The hardware tier's per-pixel goldens are 96x64 (oracle cost bounds
+The hardware tier's per-test oracle goldens are 96x64 (oracle cost bounds
 them); scale-dependent bugs — tile-grid indexing, env window offsets at
-many-tile grids — only bite at larger grids. This renders monkey.obj at
-384x256 (12x8 = 96 tiles) once through the NumPy oracle on CPU and
-commits the radiance + its sha256; tests_tpu/test_tpu_golden.py then
-pins the compiled fused kernel against it on the real chip.
+many-tile grids — only bite at larger grids. This renders each SPEC scene
+at 384x256 (12x8 = 96 tiles) once through the NumPy oracle on CPU and
+commits the radiance + its sha256; tests_tpu/test_tpu_golden.py then pins
+the compiled fused kernel against them on the real chip.
+
+Three scenes cover the three production path combinations (VERDICT r3
+item 6):
+- monkey: resident geometry + palette-coded env (the headline config)
+- shell:  the scene the reference actually renders (RefractionDemo.cpp:537)
+          at its bounce caps (RayTracing.hlsl:82,110)
+- ott:    streamed (HBM record DMA) geometry + coded env + front-to-back
+          reorder in combination (the stress asset)
 
 Run (once, or after any deliberate behavioral change):
-    JAX_PLATFORMS=cpu python tools/make_golden.py
+    JAX_PLATFORMS=cpu python tools/make_golden.py [scene ...]
 """
 
 import hashlib
@@ -24,22 +32,36 @@ import numpy as np
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests_tpu", "golden")
 
-# One config, shared verbatim by the generator and the hardware test.
-SPEC = dict(width=384, height=256, scene="monkey.obj", angle=0.37,
-            max_refract_depth=4, max_reflect_depth=2, cluster_size=128)
+# Configs shared verbatim by the generator and the hardware tests. Keys
+# are the artifact stems. cluster_size is pinned (not auto) so the
+# artifacts stay stable across auto-tuning changes — the golden pins
+# per-pixel behavior, which is cluster-size-independent.
+SPECS = {
+    "monkey_384x256": dict(
+        width=384, height=256, scene="monkey.obj", angle=0.37,
+        max_refract_depth=4, max_reflect_depth=2, cluster_size=128),
+    "shell_384x256": dict(
+        width=384, height=256, scene="shell.obj", angle=0.53,
+        max_refract_depth=5, max_reflect_depth=2, cluster_size=128),
+    "ott_384x256": dict(
+        width=384, height=256, scene="ott.obj", angle=0.53,
+        max_refract_depth=5, max_reflect_depth=2, cluster_size=256),
+}
+SPEC = SPECS["monkey_384x256"]  # back-compat alias
 
 
-def golden_cfg(asset_dir: str):
+def golden_cfg(asset_dir: str, spec=None):
     from refraction_tpu.config import RenderConfig
 
+    spec = spec or SPEC
     return RenderConfig(
-        width=SPEC["width"], height=SPEC["height"],
-        scene_path=os.path.join(asset_dir, SPEC["scene"]),
+        width=spec["width"], height=spec["height"],
+        scene_path=os.path.join(asset_dir, spec["scene"]),
         envmap_path=os.path.join(asset_dir, "envmap.png"),
         backend="pallas",
-        max_refract_depth=SPEC["max_refract_depth"],
-        max_reflect_depth=SPEC["max_reflect_depth"],
-        cluster_size=SPEC["cluster_size"])
+        max_refract_depth=spec["max_refract_depth"],
+        max_reflect_depth=spec["max_reflect_depth"],
+        cluster_size=spec["cluster_size"])
 
 
 def main():
@@ -47,20 +69,25 @@ def main():
     from refraction_tpu.scene import load_scene
 
     asset_dir = os.environ.get("RRT_ASSET_DIR", "/root/reference")
-    cfg = golden_cfg(asset_dir)
-    scene, meta = load_scene(cfg)
-    t0 = time.time()
-    img = render_oracle(scene, cfg, angle=SPEC["angle"]).astype(np.float32)
-    dt = time.time() - t0
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    path = os.path.join(GOLDEN_DIR, "monkey_384x256.npy")
-    np.save(path, img)
-    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
-    with open(os.path.join(GOLDEN_DIR, "monkey_384x256.json"), "w") as f:
-        json.dump(dict(SPEC, sha256=digest, tris=meta.num_real_tris,
-                       oracle_seconds=round(dt, 1)), f, indent=1)
-    print(f"golden: {path} ({img.nbytes / 2**20:.1f} MB, oracle {dt:.0f}s, "
-          f"sha256 {digest[:16]}...)")
+    only = set(sys.argv[1:])
+    for name, spec in SPECS.items():
+        if only and name not in only and spec["scene"] not in only:
+            continue
+        cfg = golden_cfg(asset_dir, spec)
+        scene, meta = load_scene(cfg)
+        t0 = time.time()
+        img = render_oracle(scene, cfg, angle=spec["angle"]).astype(
+            np.float32)
+        dt = time.time() - t0
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        path = os.path.join(GOLDEN_DIR, f"{name}.npy")
+        np.save(path, img)
+        digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        with open(os.path.join(GOLDEN_DIR, f"{name}.json"), "w") as f:
+            json.dump(dict(spec, sha256=digest, tris=meta.num_real_tris,
+                           oracle_seconds=round(dt, 1)), f, indent=1)
+        print(f"golden: {path} ({img.nbytes / 2**20:.1f} MB, oracle "
+              f"{dt:.0f}s, sha256 {digest[:16]}...)")
 
 
 if __name__ == "__main__":

@@ -101,6 +101,60 @@ def visits_for(o, d, alive, caps, cb, sb, spc, tmin):
     return int(cmask.sum()), vis
 
 
+def cluster_hit_t(o, d, cull, tri_a, tri_e1, tri_e2, cs, tmin, tmax):
+    """(N, C) best hit t per ray per cluster (tmax where none)."""
+    n, C = o.shape[0], tri_a.shape[0] // cs
+    out = np.full((n, C), tmax, np.float32)
+    for ci in range(C):
+        s = slice(ci * cs, (ci + 1) * cs)
+        t, _, _, _ = mt_closest(o, d, cull, tri_a[s], tri_e1[s], tri_e2[s],
+                                tmin, tmax)
+        out[:, ci] = t
+    return out
+
+
+def kern_visits(o, d, cull, alive, t_lc, cb, sb, spc, tmin, tmax, order,
+                seed_cl=None):
+    """Emulate the KERNEL's cap evolution: clusters visited in ``order``
+    (the per-frame f2b table permutation) with word-granular (32) gate
+    bits computed from the caps at word start; each visited cluster's
+    sub word gated with the caps at cluster-visit time; caps tighten
+    after each visited cluster by its ground-truth per-lane hit t.
+    Returns (cluster_visits, sub_visits). ``seed_cl`` (per-lane parent
+    cluster ids, -1 = none) prepends a seed phase visiting the union of
+    parent clusters to tighten caps before the scan."""
+    if not alive.any():
+        return 0, 0
+    oo, dd, cc = o[alive], d[alive], cull[alive]
+    tl = t_lc[alive]
+    caps = np.full(oo.shape[0], tmax, np.float32)
+    c_vis = s_vis = 0
+
+    def sub_visits_of(ci, caps):
+        s = sb[ci * spc:(ci + 1) * spc]
+        return int(slab_overlap(oo, dd, s[:, :3], s[:, 3:], tmin, caps)
+                   .any(axis=0).sum())
+
+    if seed_cl is not None:
+        for ci in np.unique(seed_cl[alive]):
+            if ci < 0:
+                continue
+            c_vis += 1
+            s_vis += sub_visits_of(ci, caps)
+            caps = np.minimum(caps, tl[:, ci])
+
+    for w0 in range(0, len(order), 32):
+        word = order[w0:w0 + 32]
+        bits = slab_overlap(oo, dd, cb[word, :3], cb[word, 3:], tmin,
+                            caps).any(axis=0)
+        for k in np.nonzero(bits)[0]:
+            ci = word[k]
+            c_vis += 1
+            s_vis += sub_visits_of(ci, caps)
+            caps = np.minimum(caps, tl[:, ci])
+    return c_vis, s_vis
+
+
 def sub_bounds_at(tri_packed, g):
     """(T/g, 6) AABBs of g-triangle groups in table (cluster) order."""
     tp = tri_packed.reshape(-1, 9)
@@ -150,7 +204,13 @@ def main():
     # state per tile: pools of (n_slots*1024) rays
     tot = {k: np.zeros((bounces + 1,), np.int64)
            for k in ("live", "rows", "slots", "v_tile", "v_rowpk", "v_octpk",
-                     "tiles_live", "c_vis", "v_sub4", "v_sub16")}
+                     "tiles_live", "c_vis", "v_sub4", "v_sub16", "v_nocap",
+                     "v_kern", "c_kern", "v_seed", "c_seed")}
+    # Per-frame front-to-back cluster order (framekernel.front_to_back_
+    # scene): ascending center distance from the camera origin.
+    centers = 0.5 * (cb[:, :3] + cb[:, 3:])
+    f2b = np.argsort(
+        ((centers - np.asarray(frame.origin)[None, :3]) ** 2).sum(axis=1))
 
     for tid in tile_ids:
         ty, tx = tid // tiles_x, tid % tiles_x
@@ -164,6 +224,7 @@ def main():
         pc = np.zeros((n_slots * N,), np.float32)
         pw = np.zeros((n_slots * N,), np.float32)
         po[:N], pd[:N], pc[:N], pw[:N] = o0, d0, 1.0, 1.0
+        ppar = np.full((n_slots * N,), -1, np.int64)  # parent cluster
 
         w_slots = 1
         for count in range(bounces + 1):
@@ -220,6 +281,33 @@ def main():
                     po[seg], pd[seg], alive, bt[seg], cb, sb, spc, tmin)
                 tot["c_vis"][count] += cv
                 tot["v_tile"][count] += sv
+                # No-improvability bound (caps = tmax): the real kernel's
+                # word-granular gating sits between v_nocap (no pruning)
+                # and v_tile (perfect per-lane caps known at scan start).
+                # The v_nocap/v_tile gap bounds what better in-scan
+                # capping (seeded best_t, finer words) could ever win.
+                tot["v_nocap"][count] += visits_for(
+                    po[seg], pd[seg], alive,
+                    np.full_like(bt[seg], tmax), cb, sb, spc, tmin)[1]
+                # Kernel-reality emulation: word-granular caps evolving
+                # in f2b visit order (v_kern) — the real visit count is
+                # THIS, not v_tile (perfect caps) — plus a parent-
+                # cluster cap-seeding variant (v_seed).
+                oo = po[seg][alive]
+                dd_ = pd[seg][alive]
+                cc = pc[seg][alive]
+                ones = np.ones(int(alive.sum()), bool)
+                tlc = cluster_hit_t(oo, dd_, cc, tri_a, tri_e1, tri_e2,
+                                    cs, tmin, tmax)
+                ck, vk = kern_visits(oo, dd_, cc, ones, tlc, cb, sb, spc,
+                                     tmin, tmax, f2b)
+                tot["c_kern"][count] += ck
+                tot["v_kern"][count] += vk
+                cs_, vs_ = kern_visits(oo, dd_, cc, ones, tlc, cb, sb,
+                                       spc, tmin, tmax, f2b,
+                                       seed_cl=ppar[seg][alive])
+                tot["c_seed"][count] += cs_
+                tot["v_seed"][count] += vs_
                 for g, (sbg, spcg) in alt.items():
                     tot[f"v_sub{g}"][count] += visits_for(
                         po[seg], pd[seg], alive, bt[seg], cb, sbg, spcg,
@@ -290,10 +378,12 @@ def main():
                     pd[seg2] = np.where(hit[:, None], sd, 0)
                     pc[seg2] = np.where(hit, cu, 0)
                     pw[seg2] = np.where(hit, w_ * fres, 0)
+                    ppar[seg2] = np.where(hit, tri // cs, -1)
                 po[seg] = hp
                 pd[seg] = np.where(f_alive[:, None], rd, 0)
                 pc[seg] = np.where(f_alive, -cu, 0)
                 pw[seg] = np.where(f_alive, w_ * (1 - fres), 0)
+                ppar[seg] = np.where(f_alive, tri // cs, -1)
             if spawn_reflect:
                 w_slots *= 2
 
@@ -303,15 +393,19 @@ def main():
           f"C={cb.shape[0]}, spc={spc}")
     print(f"{'cnt':>3} {'tiles':>5} {'slots':>5} {'live':>7} {'rows':>5} "
           f"{'c_vis':>6} {'v_tile':>7} {'v_rowpk':>7} {'v_octpk':>7} "
-          f"{'v_sub4':>7} {'v_sub16':>7}")
+          f"{'v_sub4':>7} {'v_sub16':>7} {'v_nocap':>7} "
+          f"{'c_kern':>6} {'v_kern':>7} {'c_seed':>6} {'v_seed':>7}")
     for c in range(bounces + 1):
         print(f"{c:>3} {tot['tiles_live'][c]:>5} {tot['slots'][c]:>5} "
               f"{tot['live'][c]:>7} {tot['rows'][c]:>5} "
               f"{tot['c_vis'][c]:>6} "
               f"{tot['v_tile'][c]:>7} {tot['v_rowpk'][c]:>7} "
               f"{tot['v_octpk'][c]:>7} {tot['v_sub4'][c]:>7} "
-              f"{tot['v_sub16'][c]:>7}")
-    for k in ("c_vis", "v_tile", "v_rowpk", "v_octpk", "v_sub4", "v_sub16"):
+              f"{tot['v_sub16'][c]:>7} {tot['v_nocap'][c]:>7} "
+              f"{tot['c_kern'][c]:>6} {tot['v_kern'][c]:>7} "
+              f"{tot['c_seed'][c]:>6} {tot['v_seed'][c]:>7}")
+    for k in ("c_vis", "v_tile", "v_rowpk", "v_octpk", "v_sub4", "v_sub16",
+              "v_nocap", "c_kern", "v_kern", "c_seed", "v_seed"):
         print(f"total {k}: {int(tot[k].sum())}")
     # tri tests per layout (the vector-cost proxy)
     print(f"tri tests: sub8={8 * int(tot['v_tile'].sum())} "
