@@ -522,6 +522,19 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                     pre_visit(word, start + rel0)
                     it(word, _visit1)
 
+        if "gate2x" in _ABLATE:
+            # Honest duplicate of the gate-plane computation (slab tests
+            # + roll tree; cost instrument, bit-identical output): the
+            # OPAQUE ZERO base offset (derived from live ray data — an
+            # fp-mul-by-0 the compiler can't fold) defeats CSE; OR-ing
+            # the identical duplicate word into the real one is a no-op.
+            _gz = (o_x[0, 0] * jnp.float32(0.0)).astype(jnp.int32)
+
+            def group_bits(rel0, n_boxes=None, _real=group_bits):
+                b1 = _real(rel0, n_boxes)
+                b2 = _real(rel0 + _gz, n_boxes)
+                return b1 | b2
+
         if n_groups <= 4:
             # Statically small scan (every shipped scene's cluster, super
             # and subcluster levels): unroll the word loop, issue ALL
@@ -598,16 +611,42 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
             jax.lax.fori_loop(0, _GROUP_BITS, body, 0)
 
-    def tri_body(ti, tref, tb, nref, nb, best):
+    def tri_body(ti, tref, tb, nref, nb, best, dup_mode=None):
         """One Möller–Trumbore test against the whole tile; ``best`` is the
         register-carried (t, i, nx, ny, nz) winner state (t only in
         any-hit mode) — values, not scratch refs, so the 8-triangle
         unroll below has no false memory dependencies and the VLIW
         scheduler can software-pipeline consecutive triangles. ``ti`` is
         the global triangle index (winner id); (tref, tb)/(nref, nb)
-        locate its 9 floats of geometry/normals."""
+        locate its 9 floats of geometry/normals.
+
+        ``dup_mode`` (instrument passes only; see visit_subs): the plain
+        "tri2x" duplicate pass is CSE'd away by Mosaic (pure loads +
+        pure math at identical addresses — only the winner-select chain
+        re-runs), so it UNDER-measures per-candidate cost. The honest
+        modes defeat CSE with an OPAQUE ZERO derived from a runtime
+        value (zf = tref[tb] * 0.0 is not foldable under IEEE — tref
+        could hold inf/NaN for all the compiler knows — and izoff =
+        int(zf) poisons every downstream address), while staying
+        bit-exact at runtime (izoff == 0; x + s*0.0 == x for the finite
+        scene data):
+        - "honest": re-issues the loads AND the MT math AND the selects
+          at tb + izoff — the full per-candidate cost.
+        - "loads": re-issues only the 9 geometry loads (+ address
+          arithmetic), consumed via best_t += sum * zf."""
         if "notri" in _ABLATE:
             return best
+        if dup_mode is not None:
+            zf = tref[tb + 0] * jnp.float32(0.0)
+            izoff = zf.astype(jnp.int32)
+            if dup_mode == "loads":
+                s = tref[tb + izoff]
+                for k in range(1, 9):
+                    s = s + tref[tb + izoff + k]
+                return (best[0] + s * zf,) + tuple(best[1:])
+            assert dup_mode == "honest"
+            tb = tb + izoff
+            nb = nb + izoff
         a0 = tref[tb + 0]
         a1 = tref[tb + 1]
         a2 = tref[tb + 2]
@@ -771,13 +810,18 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             # bit-identical and the time delta IS the per-visit MT
             # vector+load cost.
             n_tris = 1 if "tri1" in _ABLATE else SUB_TRIS
-            passes = 2 if "tri2x" in _ABLATE else 1
-            for _ in range(passes):
+            dup_pass = ("tri2x" if "tri2x" in _ABLATE else
+                        "tri2xh" if "tri2xh" in _ABLATE else
+                        "ld2x" if "ld2x" in _ABLATE else None)
+            for p in range(2 if dup_pass else 1):
+                mode = (None if p == 0 or dup_pass == "tri2x" else
+                        "honest" if dup_pass == "tri2xh" else "loads")
                 for k in range(n_tris):
                     tl = sl * SUB_TRIS + k
                     best = tri_body(ci * cluster_size + tl,
                                     tref, tri_base + tl * 9,
-                                    nref, norm_base + tl * 9, best)
+                                    nref, norm_base + tl * 9, best,
+                                    dup_mode=mode)
             return best
 
         return visit_sub
@@ -846,6 +890,19 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # roll-tree bound check cost ~7 ms/frame at 1080p: every vector->
     # scalar reduction + branch stalls the in-order pipeline ~1 us.)
     cluster_bits = _GROUP_BITS if stream is not None else 32
+    if "cl2x" in _ABLATE:
+        # Honest duplicate of each CLUSTER visit (cost instrument,
+        # bit-identical output): pass 2's sub-level gating word reads the
+        # best_t that pass 1 tightened, so nothing CSEs with pass 1 and
+        # the delta measures the full marginal per-cluster-visit cost —
+        # sub gate planes + OR tree + extract + while-loop trips +
+        # read/write_best scratch traffic + the pl.when/loop pipeline
+        # boundaries (pass 2 usually gates off most subs, so its tri
+        # loads/math are a small remainder).
+        def visit_cluster(ci, _real=visit_cluster):
+            _real(ci)
+            _real(ci)
+
     if num_supers > 1:
         # Coarse third level: supers of SUPER_CLUSTERS clusters, gated
         # by the same packed-bitmask machinery; a visited super scans
@@ -941,6 +998,19 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             nx, ny, nz = jax.lax.fori_loop(
                 0, n_groups,
                 lambda i, a: _norm_group(g0 + i * _SUB, a), accs0)
+            if "res2x" in _ABLATE:
+                # Honest duplicate of the resolve scan (cost instrument,
+                # bit-identical output): pass 2 starts from pass 1's
+                # accs, so every masked overwrite re-selects the same
+                # value; the OPAQUE ZERO row offset (q_lo is runtime
+                # data, so fp-mul-by-0 can't fold) defeats CSE the same
+                # way tri_body's dup modes do.
+                izoff = (q_lo.astype(jnp.float32)
+                         * jnp.float32(0.0)).astype(jnp.int32)
+                nx, ny, nz = jax.lax.fori_loop(
+                    0, n_groups,
+                    lambda i, a: _norm_group(g0 + izoff + i * _SUB, a),
+                    (nx, ny, nz))
         best_nx[rr] = nx
         best_ny[rr] = ny
         best_nz[rr] = nz

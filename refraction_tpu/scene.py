@@ -336,17 +336,23 @@ def build_scene(
 
 def auto_cluster_size(num_tris: int) -> int:
     """Empirical per-scene cluster size (device-ms sweeps at 1080p on one
-    v5e, re-confirmed under the median-split ordering: monkey 967t
-    256>128, shell 1536t 128~256, ott 12877t 256>512>128, 81,920t
-    icosphere 512>256 — small scenes like coarse clusters, the
-    nested-shell mid range likes finer culling, and streamed-regime
-    scenes want bigger DMA records)."""
+    v5e; re-swept round 4 under the rational+paired defaults after the
+    honest cost instruments showed the frame is dominated by per-
+    cluster-visit serialization — the ~1 us vector->scalar gate-word
+    extract + loop-region boundaries each visit pays — so fewer, bigger
+    cluster visits win almost everywhere: ott 12877t 1024 > 512 > 256
+    (34.8 vs 35.8 vs 39.7 ms) with a cliff at 2048 (59.3 — 7 clusters
+    can't cull), monkey 967t 1024 > 512 > 256 (13.10/13.22/13.99,
+    single-cluster: the one cluster box still rejects background
+    tiles), shell 1536t 128 < 256/512 (11.61/11.95/11.77 — the nested
+    shells want fine culling), streamed 81,920t icosphere 512 > 256
+    (DMA-ring record size is SMEM-capped)."""
     if num_tris <= 1100:
-        return 256
+        return 1024
     if num_tris <= 8192:
         return 128
     if num_tris <= 32768:
-        return 256
+        return 1024
     return 512
 
 

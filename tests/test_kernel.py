@@ -111,9 +111,11 @@ def test_norm_vmem_table_layout(sphere_scene):
 def test_auto_cluster_size_table():
     from refraction_tpu.scene import auto_cluster_size
 
-    assert auto_cluster_size(12) == 256      # cube
-    assert auto_cluster_size(967) == 256     # monkey
+    # Round-4 re-sweep values (see scene.auto_cluster_size docstring).
+    assert auto_cluster_size(12) == 1024     # cube
+    assert auto_cluster_size(967) == 1024    # monkey (single cluster)
     assert auto_cluster_size(1536) == 128    # shell
-    assert auto_cluster_size(12877) == 256   # ott
+    assert auto_cluster_size(12877) == 1024  # ott
+    assert auto_cluster_size(81920) == 512   # streamed tier (DMA ring)
     for t in (1, 100, 5000, 100000):
         assert auto_cluster_size(t) % 8 == 0
