@@ -210,6 +210,14 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         # batched call), and a tile whose rays all died skips the round on
         # scalar flag reads alone.
         def round_work(primary, w_slots, tmin, tmax, is_last, spawn_reflect):
+            if not is_last:
+                # Per-round any-hit-possible accumulator (slot bodies OR
+                # in their traversal's `possible` scalar): when NO slot
+                # of the round could have hit anything — the common case
+                # for tiles whose frusta miss the scene — the packed
+                # liveness reduction (a ~0.6 us vector->scalar drain) is
+                # replaced by n_slots scalar zero-writes.
+                flags_sm[n_slots] = 0
             if w_slots == 1:
                 _slot_round(jnp.int32(0), w_slots, tmin, tmax, is_last,
                             spawn_reflect, alive_known=primary,
@@ -230,7 +238,17 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
 
                 jax.lax.fori_loop(0, w_slots, sl_body, 0)
             if not is_last:
-                _flags_pass()
+                @pl.when(flags_sm[n_slots] != 0)
+                def _():
+                    _flags_pass()
+
+                @pl.when(flags_sm[n_slots] == 0)
+                def _():
+                    # No slot could have hit: every child was written
+                    # dead (or its slot never lived), so all flags are
+                    # zero by construction — write them directly.
+                    for sl in range(n_slots):
+                        flags_sm[sl] = 0
 
         def gated_round(primary, w_slots, tmin, tmax, is_last,
                         spawn_reflect):
@@ -319,12 +337,13 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         # The depth-cap round only needs the hit/miss decision (hits
         # contribute black — RayTracing.hlsl:82): any-hit mode skips
         # winner index/normal tracking and self-drains.
-        traverse_tile(tmin, tmax, num_clusters, cluster_size,
-                      tri_sm, None, cluster_sm, subs_sm,
-                      o_x, o_y, o_z, d_x, d_y, d_z, cu,
-                      best_t, best_i, best_nx, best_ny, best_nz,
-                      any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
-                      num_supers=n_supers)
+        possible = traverse_tile(
+            tmin, tmax, num_clusters, cluster_size,
+            tri_sm, None, cluster_sm, subs_sm,
+            o_x, o_y, o_z, d_x, d_y, d_z, cu,
+            best_t, best_i, best_nx, best_ny, best_nz,
+            any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
+            num_supers=n_supers)
 
         t = best_t[0:_SUB, :]
         hit = (t < tmax) & alive
@@ -358,69 +377,84 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         if is_last:
             return  # hits at the depth cap contribute black (hlsl:82)
 
-        # Hit shading (RayTracing.hlsl:79-123) — identical math to
-        # megakernel._mega_kernel, but children stay in the VMEM pool.
-        nx_ = best_nx[0:_SUB, :]
-        ny_ = best_ny[0:_SUB, :]
-        nz_ = best_nz[0:_SUB, :]
-        nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
-        inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
-        npx = nx_ * inv_nlen
-        npy = ny_ * inv_nlen
-        npz = nz_ * inv_nlen
+        flags_sm[n_slots] = flags_sm[n_slots] | jnp.where(
+            possible != 0, jnp.int32(1), jnp.int32(0))
 
-        dot_dn = d_x * npx + d_y * npy + d_z * npz
-        base = 1.0 - dot_dn
-        b2 = base * base
-        fres = (r0 * (1.0 - r0)) * b2 * b2 * base
-
-        hpx = jnp.where(hit, o_x + t * d_x, o_x)
-        hpy = jnp.where(hit, o_y + t * d_y, o_y)
-        hpz = jnp.where(hit, o_z + t * d_z, o_z)
-
-        # Refraction child in place (hlsl:70-76,95-108).
-        eta = jnp.where(cu > 0.0, 1.0 / ior, ior)
-        k = 1.0 - eta * eta * (1.0 - dot_dn * dot_dn)
-        refr_ok = k >= 0.0
-        coef = eta * dot_dn + jnp.sqrt(jnp.maximum(k, 0.0))
-        rx = eta * d_x - coef * npx
-        ry = eta * d_y - coef * npy
-        rz = eta * d_z - coef * npz
-        rinv = jax.lax.rsqrt(
-            jnp.maximum(rx * rx + ry * ry + rz * rz, jnp.float32(1e-30)))
-        f_alive = hit & refr_ok
-
-        r = pl.ds(slot * _SUB, _SUB)
-        p_ox[r, :] = hpx
-        p_oy[r, :] = hpy
-        p_oz[r, :] = hpz
-        p_dx[r, :] = jnp.where(f_alive, rx * rinv, 0.0)
-        p_dy[r, :] = jnp.where(f_alive, ry * rinv, 1.0)
-        p_dz[r, :] = jnp.where(f_alive, rz * rinv, 0.0)
-        p_cull[r, :] = jnp.where(f_alive, -cu, 0.0)
-        p_wgt[r, :] = jnp.where(f_alive, w * (1.0 - fres), 0.0)
-
+        # Children die by default (two unconditional vector zero-stores
+        # — cheaper than a second pl.when region); the shade branch
+        # overwrites them when a hit is possible. The loaded cu/w/d_*
+        # values above predate these stores, so the shade math is
+        # unaffected.
+        z = jnp.zeros((_SUB, _LANE), jnp.float32)
+        p_cull[pl.ds(slot * _SUB, _SUB), :] = z
         if spawn_reflect:
-            # Reflection child at slot + width (hlsl:66-68,110-123),
-            # spawned on EVERY hit (even under TIR), keeping the parent's
-            # side; liveness is the explicit hit mask.
-            r2 = pl.ds((slot + w_slots) * _SUB, _SUB)
-            sx_ = d_x - 2.0 * dot_dn * npx
-            sy_ = d_y - 2.0 * dot_dn * npy
-            sz_ = d_z - 2.0 * dot_dn * npz
-            sinv = jax.lax.rsqrt(
-                jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_,
-                            jnp.float32(1e-30)))
-            p_ox[r2, :] = hpx
-            p_oy[r2, :] = hpy
-            p_oz[r2, :] = hpz
-            p_dx[r2, :] = jnp.where(hit, sx_ * sinv, 0.0)
-            p_dy[r2, :] = jnp.where(hit, sy_ * sinv, 1.0)
-            p_dz[r2, :] = jnp.where(hit, sz_ * sinv, 0.0)
-            # Liveness is the explicit hit mask (spawned on EVERY hit,
-            # even under TIR — RayTracing.hlsl:110).
-            p_cull[r2, :] = jnp.where(hit, cu, 0.0)
-            p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
+            p_cull[pl.ds((slot + w_slots) * _SUB, _SUB), :] = z
+
+        @pl.when(possible != 0)
+        def _shade_and_spawn():
+            # Hit shading (RayTracing.hlsl:79-123) — identical math to
+            # megakernel._mega_kernel, but children stay in the VMEM pool.
+            nx_ = best_nx[0:_SUB, :]
+            ny_ = best_ny[0:_SUB, :]
+            nz_ = best_nz[0:_SUB, :]
+            nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
+            inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
+            npx = nx_ * inv_nlen
+            npy = ny_ * inv_nlen
+            npz = nz_ * inv_nlen
+
+            dot_dn = d_x * npx + d_y * npy + d_z * npz
+            base = 1.0 - dot_dn
+            b2 = base * base
+            fres = (r0 * (1.0 - r0)) * b2 * b2 * base
+
+            hpx = jnp.where(hit, o_x + t * d_x, o_x)
+            hpy = jnp.where(hit, o_y + t * d_y, o_y)
+            hpz = jnp.where(hit, o_z + t * d_z, o_z)
+
+            # Refraction child in place (hlsl:70-76,95-108).
+            eta = jnp.where(cu > 0.0, 1.0 / ior, ior)
+            k = 1.0 - eta * eta * (1.0 - dot_dn * dot_dn)
+            refr_ok = k >= 0.0
+            coef = eta * dot_dn + jnp.sqrt(jnp.maximum(k, 0.0))
+            rx = eta * d_x - coef * npx
+            ry = eta * d_y - coef * npy
+            rz = eta * d_z - coef * npz
+            rinv = jax.lax.rsqrt(
+                jnp.maximum(rx * rx + ry * ry + rz * rz, jnp.float32(1e-30)))
+            f_alive = hit & refr_ok
+
+            r = pl.ds(slot * _SUB, _SUB)
+            p_ox[r, :] = hpx
+            p_oy[r, :] = hpy
+            p_oz[r, :] = hpz
+            p_dx[r, :] = jnp.where(f_alive, rx * rinv, 0.0)
+            p_dy[r, :] = jnp.where(f_alive, ry * rinv, 1.0)
+            p_dz[r, :] = jnp.where(f_alive, rz * rinv, 0.0)
+            p_cull[r, :] = jnp.where(f_alive, -cu, 0.0)
+            p_wgt[r, :] = jnp.where(f_alive, w * (1.0 - fres), 0.0)
+
+            if spawn_reflect:
+                # Reflection child at slot + width (hlsl:66-68,110-123),
+                # spawned on EVERY hit (even under TIR), keeping the parent's
+                # side; liveness is the explicit hit mask.
+                r2 = pl.ds((slot + w_slots) * _SUB, _SUB)
+                sx_ = d_x - 2.0 * dot_dn * npx
+                sy_ = d_y - 2.0 * dot_dn * npy
+                sz_ = d_z - 2.0 * dot_dn * npz
+                sinv = jax.lax.rsqrt(
+                    jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_,
+                                jnp.float32(1e-30)))
+                p_ox[r2, :] = hpx
+                p_oy[r2, :] = hpy
+                p_oz[r2, :] = hpz
+                p_dx[r2, :] = jnp.where(hit, sx_ * sinv, 0.0)
+                p_dy[r2, :] = jnp.where(hit, sy_ * sinv, 1.0)
+                p_dz[r2, :] = jnp.where(hit, sz_ * sinv, 0.0)
+                # Liveness is the explicit hit mask (spawned on EVERY hit,
+                # even under TIR — RayTracing.hlsl:110).
+                p_cull[r2, :] = jnp.where(hit, cu, 0.0)
+                p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
 
     def _batched_body(w_slots, tmin, tmax, is_last, spawn_reflect):
         """RRT_SLOT_BATCH round: the whole w-slot front as ONE (w*8, 128)
@@ -440,12 +474,13 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         w = p_wgt[r, :]
         alive = cu != 0.0
 
-        traverse_tile(tmin, tmax, num_clusters, cluster_size,
-                      tri_sm, None, cluster_sm, subs_sm,
-                      o_x, o_y, o_z, d_x, d_y, d_z, cu,
-                      best_t, best_i, best_nx, best_ny, best_nz,
-                      any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
-                      num_supers=n_supers)
+        possible = traverse_tile(
+            tmin, tmax, num_clusters, cluster_size,
+            tri_sm, None, cluster_sm, subs_sm,
+            o_x, o_y, o_z, d_x, d_y, d_z, cu,
+            best_t, best_i, best_nx, best_ny, best_nz,
+            any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
+            num_supers=n_supers)
 
         t = best_t[0:R, :]
         hit = (t < tmax) & alive
@@ -476,61 +511,71 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         if is_last:
             return
 
-        # Hit shading — same expressions as _slot_body, over all R rows.
-        nx_, ny_, nz_ = best_nx[0:R, :], best_ny[0:R, :], best_nz[0:R, :]
-        nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
-        inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
-        npx = nx_ * inv_nlen
-        npy = ny_ * inv_nlen
-        npz = nz_ * inv_nlen
+        flags_sm[n_slots] = flags_sm[n_slots] | jnp.where(
+            possible != 0, jnp.int32(1), jnp.int32(0))
 
-        dot_dn = d_x * npx + d_y * npy + d_z * npz
-        base = 1.0 - dot_dn
-        b2 = base * base
-        fres = (r0 * (1.0 - r0)) * b2 * b2 * base
-
-        hpx = jnp.where(hit, o_x + t * d_x, o_x)
-        hpy = jnp.where(hit, o_y + t * d_y, o_y)
-        hpz = jnp.where(hit, o_z + t * d_z, o_z)
-
-        eta = jnp.where(cu > 0.0, 1.0 / ior, ior)
-        k = 1.0 - eta * eta * (1.0 - dot_dn * dot_dn)
-        refr_ok = k >= 0.0
-        coef = eta * dot_dn + jnp.sqrt(jnp.maximum(k, 0.0))
-        rx = eta * d_x - coef * npx
-        ry = eta * d_y - coef * npy
-        rz = eta * d_z - coef * npz
-        rinv = jax.lax.rsqrt(
-            jnp.maximum(rx * rx + ry * ry + rz * rz, jnp.float32(1e-30)))
-        f_alive = hit & refr_ok
-
-        p_ox[r, :] = hpx
-        p_oy[r, :] = hpy
-        p_oz[r, :] = hpz
-        p_dx[r, :] = jnp.where(f_alive, rx * rinv, 0.0)
-        p_dy[r, :] = jnp.where(f_alive, ry * rinv, 1.0)
-        p_dz[r, :] = jnp.where(f_alive, rz * rinv, 0.0)
-        p_cull[r, :] = jnp.where(f_alive, -cu, 0.0)
-        p_wgt[r, :] = jnp.where(f_alive, w * (1.0 - fres), 0.0)
-
+        z = jnp.zeros((R, _LANE), jnp.float32)
+        p_cull[r, :] = z
         if spawn_reflect:
-            # Reflection children of slots [0, w) land at slots
-            # [w, 2w) — rows [R, 2R), contiguous.
-            r2 = pl.ds(R, R)
-            sx_ = d_x - 2.0 * dot_dn * npx
-            sy_ = d_y - 2.0 * dot_dn * npy
-            sz_ = d_z - 2.0 * dot_dn * npz
-            sinv = jax.lax.rsqrt(
-                jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_,
-                            jnp.float32(1e-30)))
-            p_ox[r2, :] = hpx
-            p_oy[r2, :] = hpy
-            p_oz[r2, :] = hpz
-            p_dx[r2, :] = jnp.where(hit, sx_ * sinv, 0.0)
-            p_dy[r2, :] = jnp.where(hit, sy_ * sinv, 1.0)
-            p_dz[r2, :] = jnp.where(hit, sz_ * sinv, 0.0)
-            p_cull[r2, :] = jnp.where(hit, cu, 0.0)
-            p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
+            p_cull[pl.ds(R, R), :] = z
+
+        @pl.when(possible != 0)
+        def _shade_and_spawn():
+            # Hit shading — same expressions as _slot_body, over all R rows.
+            nx_, ny_, nz_ = best_nx[0:R, :], best_ny[0:R, :], best_nz[0:R, :]
+            nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
+            inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
+            npx = nx_ * inv_nlen
+            npy = ny_ * inv_nlen
+            npz = nz_ * inv_nlen
+
+            dot_dn = d_x * npx + d_y * npy + d_z * npz
+            base = 1.0 - dot_dn
+            b2 = base * base
+            fres = (r0 * (1.0 - r0)) * b2 * b2 * base
+
+            hpx = jnp.where(hit, o_x + t * d_x, o_x)
+            hpy = jnp.where(hit, o_y + t * d_y, o_y)
+            hpz = jnp.where(hit, o_z + t * d_z, o_z)
+
+            eta = jnp.where(cu > 0.0, 1.0 / ior, ior)
+            k = 1.0 - eta * eta * (1.0 - dot_dn * dot_dn)
+            refr_ok = k >= 0.0
+            coef = eta * dot_dn + jnp.sqrt(jnp.maximum(k, 0.0))
+            rx = eta * d_x - coef * npx
+            ry = eta * d_y - coef * npy
+            rz = eta * d_z - coef * npz
+            rinv = jax.lax.rsqrt(
+                jnp.maximum(rx * rx + ry * ry + rz * rz, jnp.float32(1e-30)))
+            f_alive = hit & refr_ok
+
+            p_ox[r, :] = hpx
+            p_oy[r, :] = hpy
+            p_oz[r, :] = hpz
+            p_dx[r, :] = jnp.where(f_alive, rx * rinv, 0.0)
+            p_dy[r, :] = jnp.where(f_alive, ry * rinv, 1.0)
+            p_dz[r, :] = jnp.where(f_alive, rz * rinv, 0.0)
+            p_cull[r, :] = jnp.where(f_alive, -cu, 0.0)
+            p_wgt[r, :] = jnp.where(f_alive, w * (1.0 - fres), 0.0)
+
+            if spawn_reflect:
+                # Reflection children of slots [0, w) land at slots
+                # [w, 2w) — rows [R, 2R), contiguous.
+                r2 = pl.ds(R, R)
+                sx_ = d_x - 2.0 * dot_dn * npx
+                sy_ = d_y - 2.0 * dot_dn * npy
+                sz_ = d_z - 2.0 * dot_dn * npz
+                sinv = jax.lax.rsqrt(
+                    jnp.maximum(sx_ * sx_ + sy_ * sy_ + sz_ * sz_,
+                                jnp.float32(1e-30)))
+                p_ox[r2, :] = hpx
+                p_oy[r2, :] = hpy
+                p_oz[r2, :] = hpz
+                p_dx[r2, :] = jnp.where(hit, sx_ * sinv, 0.0)
+                p_dy[r2, :] = jnp.where(hit, sy_ * sinv, 1.0)
+                p_dz[r2, :] = jnp.where(hit, sz_ * sinv, 0.0)
+                p_cull[r2, :] = jnp.where(hit, cu, 0.0)
+                p_wgt[r2, :] = jnp.where(hit, w * fres, 0.0)
 
     jax.lax.fori_loop(0, group, tile, 0)
 
@@ -700,7 +745,8 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         pltpu.VMEM((best_rows, _LANE), jnp.float32),  # best_nx
         pltpu.VMEM((best_rows, _LANE), jnp.float32),  # best_ny
         pltpu.VMEM((best_rows, _LANE), jnp.float32),  # best_nz
-        pltpu.SMEM((n_slots,), jnp.int32),       # per-slot live flags
+        pltpu.SMEM((n_slots + 1,), jnp.int32),   # per-slot live flags +
+                                                 # round any-possible bit
     ]
     coded = env_codes is not None
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -785,6 +831,17 @@ def build_scalars(frame, cfg, offsets) -> jnp.ndarray:
 # Front-to-back cluster ordering (RRT_F2B=0 disables, for A/B timing).
 _F2B = os.environ.get("RRT_F2B", "1") != "0"
 
+# Front-to-back SUBCLUSTER ordering within each cluster (RRT_F2B_SUB).
+# Only matters when a cluster spans >1 sub gating word (cluster_size >
+# 32*SUB_TRIS = 256) AND sequential word gating (RRT_SEQGATE) is on:
+# the near words then tighten the caps the far words are gated with.
+# Emulated visit counts (tools/ottstats.py v_kern -> v_f2bs, stride-64/7
+# samples): ott C=1024 3019 -> 2871 (-4.9%), monkey C=1024 3740 -> 3455
+# (-7.6%; its single cluster previously saw ZERO early termination —
+# v_kern == v_nocap). Same per-frame tiny-XLA-op mechanism as the
+# cluster permutation; tie-breaks can differ like any visit reorder.
+_F2B_SUB = os.environ.get("RRT_F2B_SUB", "1") != "0"
+
 # Coarse third bound level kicks in past this many clusters (RRT_SUPER
 # overrides; 0 disables). Below it the flat scan's word count is already
 # small and the extra super reduction would only add stalls. 32 (not the
@@ -817,31 +874,61 @@ def front_to_back_scene(scene, origin):
     different (equal-t) triangle than the ascending-Morton oracle order —
     a measure-zero deviation recorded in PARITY.md.
     """
-    C = scene.cluster_bounds.shape[0]
-    if not _F2B or C <= 1:
-        return scene
-    cb = scene.cluster_bounds
-    centers = 0.5 * (cb[:, :3] + cb[:, 3:])
-    o = jnp.asarray(origin, jnp.float32).reshape(1, 3)
-    perm = jnp.argsort(jnp.sum((centers - o) ** 2, axis=1))
-    t_pad = scene.tri_packed.shape[0]
-    cs = t_pad // C
+    from refraction_tpu.kernels.intersect_pallas import _SEQGATE
     from refraction_tpu.scene import SUB_TRIS
 
+    C = scene.cluster_bounds.shape[0]
+    t_pad = scene.tri_packed.shape[0]
+    cs = t_pad // C
     spc = cs // SUB_TRIS
+    sub_f2b = _F2B_SUB and _SEQGATE and spc > 32
+    if not _F2B or (C <= 1 and not sub_f2b):
+        return scene
+    cb = scene.cluster_bounds
+    o = jnp.asarray(origin, jnp.float32).reshape(1, 3)
+    if _F2B and C > 1:
+        centers = 0.5 * (cb[:, :3] + cb[:, 3:])
+        perm = jnp.argsort(jnp.sum((centers - o) ** 2, axis=1))
+    else:
+        perm = jnp.arange(C)
     rec_pad = scene.cluster_records.shape[0] // C
-    tnp = scene.tri_norm_packed.reshape(C, cs, 9)[perm].reshape(t_pad, 9)
+    cb2 = cb[perm]
+    tp2 = scene.tri_packed.reshape(C, cs, 9)[perm]
+    tnp2 = scene.tri_norm_packed.reshape(C, cs, 9)[perm]
+    sb2 = scene.sub_bounds.reshape(C, spc, 6)[perm]
+    rec2 = scene.cluster_records.reshape(C, rec_pad)[perm]
+
+    if sub_f2b:
+        # Within-cluster f2b: per-cluster argsort of sub-center distance;
+        # tri/normal/record blocks follow in SUB_TRIS*9 chunks. Padded
+        # subs (degenerate tris) sort wherever their centers land — they
+        # can gate on exactly as they would in table order, and their
+        # zero-det triangles can never be accepted.
+        sc = 0.5 * (sb2[:, :, :3] + sb2[:, :, 3:])
+        d2 = jnp.sum((sc - o.reshape(1, 1, 3)) ** 2, axis=-1)
+        sperm = jnp.argsort(d2, axis=1)  # (C, spc)
+        tk = lambda x: jnp.take_along_axis(  # noqa: E731
+            x, sperm[:, :, None], axis=1)
+        sb2 = tk(sb2)
+        tp2 = tk(tp2.reshape(C, spc, SUB_TRIS * 9)).reshape(C, cs, 9)
+        tnp2 = tk(tnp2.reshape(C, spc, SUB_TRIS * 9)).reshape(C, cs, 9)
+        rec2 = jnp.concatenate(
+            [tk(rec2[:, :spc * 6].reshape(C, spc, 6)).reshape(C, -1),
+             tk(rec2[:, spc * 6:spc * 6 + cs * 9].reshape(
+                 C, spc, SUB_TRIS * 9)).reshape(C, -1),
+             rec2[:, spc * 6 + cs * 9:]],
+            axis=1)
+
+    tnp_flat = tnp2.reshape(t_pad, 9)
     rows_n = scene.tri_norm_vmem.shape[0] // 9
     tbl = jnp.zeros((9, rows_n * _LANE), jnp.float32)
-    tbl = tbl.at[:, :t_pad].set(tnp.T).reshape(9 * rows_n, _LANE)
+    tbl = tbl.at[:, :t_pad].set(tnp_flat.T).reshape(9 * rows_n, _LANE)
     return scene._replace(
-        cluster_bounds=cb[perm],
-        tri_packed=scene.tri_packed.reshape(C, cs, 9)[perm].reshape(
-            t_pad, 9),
-        tri_norm_packed=tnp,
-        sub_bounds=scene.sub_bounds.reshape(C, spc, 6)[perm].reshape(-1, 6),
-        cluster_records=scene.cluster_records.reshape(
-            C, rec_pad)[perm].reshape(-1),
+        cluster_bounds=cb2,
+        tri_packed=tp2.reshape(t_pad, 9),
+        tri_norm_packed=tnp_flat,
+        sub_bounds=sb2.reshape(-1, 6),
+        cluster_records=rec2.reshape(-1),
         tri_norm_vmem=tbl,
     )
 

@@ -89,6 +89,24 @@ _VISIT_W = {"0": 1, "1": 2}.get(_PAIR_ENV, None) or int(_PAIR_ENV)
 assert _VISIT_W in (1, 2, 4), f"RRT_PAIR={_PAIR_ENV}: width must be 1/2/4"
 _PAIR = _VISIT_W >= 2
 
+# Sequential sub-word gating (RRT_SEQGATE, DEFAULT OFF — measured
+# loser): in the carried sub scan, compute each 32-bit gating word from
+# the REGISTER-CARRIED winner state as tightened by the previous words'
+# visits, instead of issuing every word's gate planes with cluster-entry
+# caps (the unrolled all-words-first path). Matters exactly when a
+# cluster has >1 sub word (cluster_size > 256): at C=1024 a cluster's 4
+# words see ZERO within-cluster early termination (tools/ottstats.py:
+# monkey v_kern == v_nocap exactly). The visit SET can only shrink and
+# winners are bit-identical (test_seqgate_bit_parity) — but the
+# plane->tree->extract->visits chain per WORD serializes the VPU against
+# the scalar core: monkey 1080p 4-bounce measured 13.10 -> 15.85 ms
+# device median (+2.75 ms ~= 3 extra serialization boundaries x ~0.55 us
+# x ~1.6k cluster visits/frame) against an emulated visit win of only
+# -1.5..-7.6%. Kept as a knob for re-evaluation if the boundary cost
+# ever drops; the boundary-free route to the same pruning is fused-word
+# iteration (below), not sequential gating.
+_SEQGATE = os.environ.get("RRT_SEQGATE", "0") != "0"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -268,6 +286,86 @@ def iter_set_bits_carry(word, visit, carry, width=1):
     return out[1:]
 
 
+def iter_set_bits_fused(words, rel0s, visit, carry, width=1):
+    """Iterate the set bits of SEVERAL gating words in ONE while loop,
+    threading ``carry`` like iter_set_bits_carry: each pick takes the
+    lowest set bit of the FIRST nonzero word — exactly the visit set
+    AND order of running the per-word loops in sequence, but with ONE
+    loop region instead of ``len(words)`` (the RRT_SEQGATE postmortem
+    measured ~0.55 us of VPU/scalar-core serialization per region per
+    cluster visit — at 4 sub words that is ~3 removable boundaries).
+    The per-pick cost is a ~3(k-1)-scalar-op first-nonzero select chain,
+    noise next to a region boundary.
+
+    ``rel0s`` are the words' static bit-index bases; ``visit(rel,
+    carry) -> carry`` gets rel = rel0s[i] + bit. ``width`` > 1 makes
+    that many picks per trip (trip count = ceil(total set bits/width) —
+    across ALL words, strictly better than per-word pairing); when
+    fewer bits remain the last real rel is re-visited (the idempotent-
+    duplicate contract of iter_set_bits_paired)."""
+    k = len(words)
+    assert k == len(rel0s) and k >= 2
+
+    def body(c):
+        ws = list(c[:k])
+        cr = c[k:]
+        rel_prev = None
+        for _ in range(width):
+            any_w = ws[0]
+            for i in range(1, k):
+                any_w = jnp.bitwise_or(any_w, ws[i])
+            w_sel = ws[k - 1]
+            rel0_sel = jnp.int32(rel0s[k - 1])
+            for i in range(k - 2, -1, -1):
+                pick = ws[i] != 0
+                w_sel = jnp.where(pick, ws[i], w_sel)
+                rel0_sel = jnp.where(pick, jnp.int32(rel0s[i]), rel0_sel)
+            iso = jnp.bitwise_and(w_sel, jnp.int32(0) - w_sel)
+            rel = rel0_sel + _bit_index(iso)
+            if rel_prev is not None:
+                rel = jnp.where(any_w != 0, rel, rel_prev)
+            cr = visit(rel, cr)
+            rel_prev = rel
+            # Clear the picked bit from the word it came from (the
+            # first nonzero one); a duplicate pick (any_w == 0) has
+            # iso == 0 on every selected word, clearing nothing.
+            seen = ws[0] != ws[0]  # scalar False of the right dtype
+            for i in range(k):
+                nz = ws[i] != 0
+                sel_i = nz & jnp.logical_not(seen)
+                ws[i] = jnp.where(sel_i, jnp.bitwise_xor(ws[i], iso),
+                                  ws[i])
+                seen = seen | nz
+        return tuple(ws) + tuple(cr)
+
+    def cond(c):
+        w = c[0]
+        for i in range(1, k):
+            w = jnp.bitwise_or(w, c[i])
+        return w != 0
+
+    out = jax.lax.while_loop(cond, body, tuple(words) + tuple(carry))
+    return out[k:]
+
+
+# Fused multi-word sub-scan iteration (see iter_set_bits_fused).
+# RRT_FUSEWORDS=0 reverts to one while loop per gating word. Measured
+# (device medians, 1080p, C=1024): monkey 13.10 -> 13.06, ott 34.82 ->
+# 34.76 — small but consistent across all samples; never loses.
+_FUSEWORDS = os.environ.get("RRT_FUSEWORDS", "1") != "0"
+
+# Visit width of the FUSED multi-word loop (RRT_PAIR_FUSED). Width 4
+# lost per-word (up to 3 duplicate visits per sparse word — the
+# RRT_PAIR=4 sweep) but WINS fused: duplicates occur once per cluster
+# scan, not once per word, so trip count ~ceil(total visits/4).
+# Measured on top of fused words (device medians, 1080p): ott 34.76 ->
+# 34.30, monkey 13.06 -> 12.81. Single-word scans (cluster_size <= 256,
+# e.g. shell's 128) keep RRT_PAIR width 2 — width 4 measured +0.28 ms
+# there (round-4 per-word sweep).
+_FUSE_W = int(os.environ.get("RRT_PAIR_FUSED", "4"))
+assert _FUSE_W in (1, 2, 4)
+
+
 # Clusters per coarse third-level AABB (hier mode): SUPER_CLUSTERS,
 # defined in scene.py (imported above) so the median-split triangle
 # ordering can mirror the traversal hierarchy.
@@ -438,16 +536,24 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         best_t SCRATCH, which during a carried scan is exactly the scan-
         start state — the same staleness the unrolled all-words-first
         path already has, so visit sets and winners are unchanged.
-        Incompatible with ``pre_visit`` (pl.when is statement-only)."""
+        Incompatible with ``pre_visit`` (pl.when is statement-only).
+
+        Without ``carry`` the return value is the bitwise OR of all
+        gating words — a scalar that is zero iff NO box was visited
+        (callers use it to skip hit-dependent work: no gated box means
+        no lane can have accepted a hit)."""
         n_groups = (count + bits_per_word - 1) // bits_per_word
 
-        def group_bits(rel0, n_boxes=None):
+        def group_bits(rel0, n_boxes=None, cur=None):
             # ``n_boxes`` (static-rel0 path): real boxes in this word —
             # the tail word then emits no clamped-index slab tests.
+            # ``cur`` (RRT_SEQGATE): the register-carried winner state to
+            # gate against instead of the scan-start scratch — fresher
+            # caps, same conservative margin, bit-identical winners.
             if n_boxes is None:
                 n_boxes = min(bits_per_word, count)
             bits = jnp.zeros((R, _LANE), jnp.int32)
-            cur_best = best_t[rr]
+            cur_best = best_t[rr] if cur is None else cur[0]
             # Rational closest-hit: best is (num, den); enter < num/den
             # <=> enter*den < num (den > 0 always: init 1, updates |det|).
             # The (1 + 1e-4) margin makes the prune conservative w.r.t.
@@ -464,7 +570,10 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             # measurable.
             if rational:
                 cur_best = cur_best * jnp.float32(1.0 + 1e-4)
-            cur_den = (best_nz[rr] if rational and not any_hit else None)
+            if rational and not any_hit:
+                cur_den = best_nz[rr] if cur is None else cur[4]
+            else:
+                cur_den = None
             for b in range(n_boxes):
                 rel = rel0 + b
                 idx = start + jnp.minimum(rel, count - 1)
@@ -530,10 +639,31 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             # the identical duplicate word into the real one is a no-op.
             _gz = (o_x[0, 0] * jnp.float32(0.0)).astype(jnp.int32)
 
-            def group_bits(rel0, n_boxes=None, _real=group_bits):
-                b1 = _real(rel0, n_boxes)
-                b2 = _real(rel0 + _gz, n_boxes)
+            def group_bits(rel0, n_boxes=None, cur=None, _real=group_bits):
+                b1 = _real(rel0, n_boxes, cur)
+                b2 = _real(rel0 + _gz, n_boxes, cur)
                 return b1 | b2
+
+        if carry is not None and _SEQGATE and n_groups > 1:
+            # Sequential words (RRT_SEQGATE): word g's gate plane reads
+            # the carry as tightened by words < g. Unrolled when small
+            # (same branch-count cuts as below), rolled past 4 words.
+            cr = tuple(carry)
+            if n_groups <= 4:
+                for g in range(n_groups):
+                    nb = min(bits_per_word, count - g * bits_per_word)
+                    plane = _roll_tree_plane(
+                        group_bits(g * bits_per_word, nb, cur=cr),
+                        jnp.bitwise_or)
+                    cr = word_visits(plane[0, 0], g * bits_per_word, cr)
+                return cr
+
+            def seq_body(g, cr):
+                rel0 = g * bits_per_word
+                return word_visits(
+                    or_reduce_scalar(group_bits(rel0, cur=cr)), rel0, cr)
+
+            return jax.lax.fori_loop(0, n_groups, seq_body, cr)
 
         if n_groups <= 4:
             # Statically small scan (every shipped scene's cluster, super
@@ -561,11 +691,31 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             words = [p[0, 0] for p in planes]
             if carry is not None:
                 cr = tuple(carry)
+                if _FUSEWORDS and n_groups > 1:
+                    # One loop region for ALL words (identical visit
+                    # set/order — see iter_set_bits_fused).
+                    if dup:
+                        def _vf(rel, c):
+                            c = visit(start + rel, c)
+                            return visit(start + rel, c)
+                    else:
+                        def _vf(rel, c):
+                            return visit(start + rel, c)
+
+                    return iter_set_bits_fused(
+                        words,
+                        [g * bits_per_word for g in range(n_groups)],
+                        _vf, cr,
+                        width=(_FUSE_W if width > 1 else width))
                 for g, word in enumerate(words):
                     cr = word_visits(word, g * bits_per_word, cr)
                 return cr
+            any_w = words[0]
+            for w in words[1:]:
+                any_w = jnp.bitwise_or(any_w, w)
             for g, word in enumerate(words):
                 word_visits(word, g * bits_per_word)
+            return any_w
         else:
             # Large streamed scans (e.g. C=320 at cluster level): rolled
             # loop, one drain per word.
@@ -578,12 +728,13 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 return jax.lax.fori_loop(0, n_groups, group_body_c,
                                          tuple(carry))
 
-            def group_body(g, _):
+            def group_body(g, acc):
                 rel0 = g * bits_per_word
-                word_visits(or_reduce_scalar(group_bits(rel0)), rel0)
-                return 0
+                w = or_reduce_scalar(group_bits(rel0))
+                word_visits(w, rel0)
+                return jnp.bitwise_or(acc, w)
 
-            jax.lax.fori_loop(0, n_groups, group_body, 0)
+            return jax.lax.fori_loop(0, n_groups, group_body, jnp.int32(0))
 
     subs_per_cluster = cluster_size // SUB_TRIS
     if stream is not None:
@@ -914,12 +1065,17 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                        visit_cluster, pre_visit=pre,
                        bits_per_word=cluster_bits)
 
-        gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_supers,
-                   visit_super, bits_per_word=32)
+        # ``possible`` (a conservative any-box-visited scalar; zero =>
+        # no lane can have accepted a hit) comes from the SUPER words
+        # here — a gated-on super whose clusters all gate off still
+        # reads as possible, which is safe (possible may only be a
+        # false positive, never a false negative).
+        possible = gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0),
+                              num_supers, visit_super, bits_per_word=32)
     else:
-        gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0), num_clusters,
-                   visit_cluster, pre_visit=pre,
-                   bits_per_word=cluster_bits)
+        possible = gated_loop(cluster_sm, jnp.int32(0), jnp.int32(0),
+                              num_clusters, visit_cluster, pre_visit=pre,
+                              bits_per_word=cluster_bits)
 
     # ---- Rational resolve: three divisions per TRAVERSAL convert the
     # carried (num, den) winner back to real (t, u, v); unhit lanes keep
@@ -928,7 +1084,16 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # re-associate, so the per-slot and batched-slot programs compute
     # bit-identical values — mul-by-reciprocal measured 1-ulp different
     # between the two program shapes under XLA:CPU contraction.
+    # Both resolve passes sit behind the ``possible`` scalar: a tile
+    # whose top-level gate words were all zero has best_t == tmax (num
+    # tmax / den 1) on every lane — the resolves would be identity on t
+    # and only fill the documented-garbage normal planes — and skipping
+    # them saves the resolve window's roll trees + extracts on the
+    # (majority, for small on-screen objects) miss-only tiles.
     if rational and not any_hit:
+        # Unconditional (no pl.when on ``possible``): three vector
+        # divides are cheaper than a branch region, and on a miss-only
+        # tile they are exact identities (num tmax / den 1).
         den = best_nz[rr]
         best_t[rr] = best_t[rr] / den
         best_nx[rr] = best_nx[rr] / den
@@ -943,77 +1108,91 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         if "nonorm" in _ABLATE:
             best_ny[rr] = jnp.ones((R, _LANE), jnp.float32)
             best_nz[rr] = jnp.zeros((R, _LANE), jnp.float32)
-            return
+            return possible
+
         rows_n = norm_vmem.shape[0] // 9
         n_all = rows_n // _SUB  # total 8-row groups in the table (static)
-        hitm = (best_t[rr] < tmax) & alive
-        bi = best_i[rr]
-        bu = best_nx[rr]
-        bv = best_ny[rr]
-        q = bi // _LANE
-        r = bi % _LANE
 
-        def _norm_group(base, accs):
-            nx, ny, nz = accs
-            brow = q - base
-            tiles = [
-                norm_vmem[pl.ds(c * rows_n + base, _SUB), :]
-                for c in range(9)
-            ]
-            for j in range(_SUB):
-                mj = hitm & (brow == j)
-                g = [
-                    jnp.take_along_axis(
-                        jnp.broadcast_to(t[j:j + 1, :], (R, _LANE)),
-                        r, axis=1)
-                    for t in tiles
+        def _resolve_norms():
+            hitm = (best_t[rr] < tmax) & alive
+            bi = best_i[rr]
+            bu = best_nx[rr]
+            bv = best_ny[rr]
+            q = bi // _LANE
+            r = bi % _LANE
+
+            def _norm_group(base, accs):
+                nx, ny, nz = accs
+                brow = q - base
+                tiles = [
+                    norm_vmem[pl.ds(c * rows_n + base, _SUB), :]
+                    for c in range(9)
                 ]
-                nx = jnp.where(mj, g[0] + bu * g[3] + bv * g[6], nx)
-                ny = jnp.where(mj, g[1] + bu * g[4] + bv * g[7], ny)
-                nz = jnp.where(mj, g[2] + bu * g[5] + bv * g[8], nz)
-            return nx, ny, nz
+                for j in range(_SUB):
+                    mj = hitm & (brow == j)
+                    g = [
+                        jnp.take_along_axis(
+                            jnp.broadcast_to(t[j:j + 1, :], (R, _LANE)),
+                            r, axis=1)
+                        for t in tiles
+                    ]
+                    nx = jnp.where(mj, g[0] + bu * g[3] + bv * g[6], nx)
+                    ny = jnp.where(mj, g[1] + bu * g[4] + bv * g[7], ny)
+                    nz = jnp.where(mj, g[2] + bu * g[5] + bv * g[8], nz)
+                return nx, ny, nz
 
-        accs0 = (jnp.zeros((R, _LANE), jnp.float32),
-                 jnp.ones((R, _LANE), jnp.float32),
-                 jnp.zeros((R, _LANE), jnp.float32))
-        if n_all <= 2:
-            # Statically tiny table (<=2048 tris): scan it whole — no
-            # window reductions, no dynamic loop bound, zero stalls.
-            accs = accs0
-            for gi in range(n_all):
-                accs = _norm_group(jnp.int32(gi * _SUB), accs)
-            nx, ny, nz = accs
-        else:
-            big = jnp.int32(2 ** 30)
-            # Both window trees before either scalar extract: one pipe
-            # drain for the pair (see envmap_pallas._window_scalars).
-            lo_plane = _roll_tree_plane(jnp.where(hitm, q, big),
-                                        jnp.minimum)
-            hi_plane = _roll_tree_plane(jnp.where(hitm, q, -1),
-                                        jnp.maximum)
-            q_lo = lo_plane[0, 0]
-            q_hi = hi_plane[0, 0]
-            g0 = (q_lo // _SUB) * _SUB
-            n_groups = q_hi // _SUB - q_lo // _SUB + 1  # <=0: no lane hit
-            nx, ny, nz = jax.lax.fori_loop(
-                0, n_groups,
-                lambda i, a: _norm_group(g0 + i * _SUB, a), accs0)
-            if "res2x" in _ABLATE:
-                # Honest duplicate of the resolve scan (cost instrument,
-                # bit-identical output): pass 2 starts from pass 1's
-                # accs, so every masked overwrite re-selects the same
-                # value; the OPAQUE ZERO row offset (q_lo is runtime
-                # data, so fp-mul-by-0 can't fold) defeats CSE the same
-                # way tri_body's dup modes do.
-                izoff = (q_lo.astype(jnp.float32)
-                         * jnp.float32(0.0)).astype(jnp.int32)
+            accs0 = (jnp.zeros((R, _LANE), jnp.float32),
+                     jnp.ones((R, _LANE), jnp.float32),
+                     jnp.zeros((R, _LANE), jnp.float32))
+            if n_all <= 2:
+                # Statically tiny table (<=2048 tris): scan it whole — no
+                # window reductions, no dynamic loop bound, zero stalls.
+                accs = accs0
+                for gi in range(n_all):
+                    accs = _norm_group(jnp.int32(gi * _SUB), accs)
+                nx, ny, nz = accs
+            else:
+                big = jnp.int32(2 ** 30)
+                # Both window trees before either scalar extract: one pipe
+                # drain for the pair (see envmap_pallas._window_scalars).
+                lo_plane = _roll_tree_plane(jnp.where(hitm, q, big),
+                                            jnp.minimum)
+                hi_plane = _roll_tree_plane(jnp.where(hitm, q, -1),
+                                            jnp.maximum)
+                q_lo = lo_plane[0, 0]
+                q_hi = hi_plane[0, 0]
+                g0 = (q_lo // _SUB) * _SUB
+                n_groups = q_hi // _SUB - q_lo // _SUB + 1  # <=0: no lane hit
                 nx, ny, nz = jax.lax.fori_loop(
                     0, n_groups,
-                    lambda i, a: _norm_group(g0 + izoff + i * _SUB, a),
-                    (nx, ny, nz))
-        best_nx[rr] = nx
-        best_ny[rr] = ny
-        best_nz[rr] = nz
+                    lambda i, a: _norm_group(g0 + i * _SUB, a), accs0)
+                if "res2x" in _ABLATE:
+                    # Honest duplicate of the resolve scan (cost instrument,
+                    # bit-identical output): pass 2 starts from pass 1's
+                    # accs, so every masked overwrite re-selects the same
+                    # value; the OPAQUE ZERO row offset (q_lo is runtime
+                    # data, so fp-mul-by-0 can't fold) defeats CSE the same
+                    # way tri_body's dup modes do.
+                    izoff = (q_lo.astype(jnp.float32)
+                             * jnp.float32(0.0)).astype(jnp.int32)
+                    nx, ny, nz = jax.lax.fori_loop(
+                        0, n_groups,
+                        lambda i, a: _norm_group(g0 + izoff + i * _SUB, a),
+                        (nx, ny, nz))
+            best_nx[rr] = nx
+            best_ny[rr] = ny
+            best_nz[rr] = nz
+
+        if n_all <= 2:
+            # Static tiny-table path: no window reductions, no extracts
+            # — cheaper than a branch region, run unconditionally.
+            _resolve_norms()
+        else:
+            # Dynamic-window path: the two window roll trees + extract
+            # are a real drain — skip them when no box was even gated.
+            pl.when(possible != 0)(_resolve_norms)
+
+    return possible
 
 
 def _pad_rays(x, n_pad):

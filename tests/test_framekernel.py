@@ -343,6 +343,125 @@ def test_fused_palette_envmap_matches_xla():
     assert _rmse(ref, fused) < 1e-5
 
 
+@pytest.fixture(scope="module")
+def bigcluster_scene():
+    """A scene whose clusters span >1 sub gating word (spc = 128 -> 4
+    words of 32): the regime where RRT_SEQGATE / RRT_F2B_SUB actually
+    change the gating schedule (cluster_size 1024, like monkey/ott's
+    auto tier)."""
+    scene, _ = build_scene(
+        make_icosphere(3, radius=1.2), make_gradient_envmap(64, 128),
+        cluster_size=1024)
+    assert scene.sub_bounds.shape[0] // scene.cluster_bounds.shape[0] > 32
+    return scene
+
+
+def test_seqgate_bit_parity(bigcluster_scene, monkeypatch):
+    """RRT_SEQGATE (sequential sub-word gating: each 32-bit word's gate
+    plane reads the register-carried winner state as tightened by the
+    previous words' visits, instead of all words reading cluster-entry
+    caps) must be near-identical to the all-words-first scan: the visit
+    SET can only shrink (fresher improvability bound; accept => gate
+    still holds by the rational-margin argument), order is unchanged.
+    Near-equality tolerance: different XLA:CPU program shape."""
+    import refraction_tpu.kernels.intersect_pallas as ip
+    from refraction_tpu.kernels import framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+
+    monkeypatch.setattr(fk, "_F2B_SUB", False)  # isolate the word schedule
+    monkeypatch.setattr(ip, "_SEQGATE", False)
+    fk.frame_call.clear_cache()
+    a = np.asarray(render_frame_fused(bigcluster_scene, frame, cfg,
+                                      interpret=True))
+    monkeypatch.setattr(ip, "_SEQGATE", True)
+    fk.frame_call.clear_cache()
+    try:
+        b = np.asarray(render_frame_fused(bigcluster_scene, frame, cfg,
+                                          interpret=True))
+    finally:
+        fk.frame_call.clear_cache()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
+
+
+def test_fusewords_bit_parity(bigcluster_scene, monkeypatch):
+    """RRT_FUSEWORDS (all sub gating words iterated in ONE while loop,
+    picking the lowest set bit of the first nonzero word per trip) must
+    visit the exact same subclusters in the exact same order as the
+    per-word loops — the images should be near-identical (different
+    XLA:CPU program shape, same FMA-contraction tolerance as the other
+    schedule-knob parity tests)."""
+    import refraction_tpu.kernels.intersect_pallas as ip
+    from refraction_tpu.kernels import framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+
+    monkeypatch.setattr(ip, "_FUSEWORDS", False)
+    fk.frame_call.clear_cache()
+    a = np.asarray(render_frame_fused(bigcluster_scene, frame, cfg,
+                                      interpret=True))
+    monkeypatch.setattr(ip, "_FUSEWORDS", True)
+    fk.frame_call.clear_cache()
+    try:
+        b = np.asarray(render_frame_fused(bigcluster_scene, frame, cfg,
+                                          interpret=True))
+    finally:
+        fk.frame_call.clear_cache()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
+
+
+def test_f2b_sub_order(bigcluster_scene, monkeypatch):
+    """RRT_F2B_SUB (within-cluster front-to-back subcluster ordering):
+    permuted tables must stay internally consistent — same triangle
+    multiset, sub AABBs actually sorted by camera distance within each
+    cluster, records re-packed to match — and the rendered image equals
+    the unordered one up to coincident-hit tie-breaks (none here).
+    Exercises both the resident and streamed table layouts."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       backend="xla")
+    frame = orbit_camera(0.7, cfg)
+
+    ordered = fk.front_to_back_scene(bigcluster_scene, frame.origin)
+    sb = np.asarray(ordered.sub_bounds)
+    C = ordered.cluster_bounds.shape[0]
+    spc = sb.shape[0] // C
+    centers = 0.5 * (sb[:, :3] + sb[:, 3:])
+    d2 = ((centers - np.asarray(frame.origin)) ** 2).sum(axis=1)
+    for ci in range(C):
+        dd = d2[ci * spc:(ci + 1) * spc]
+        assert (np.diff(dd) >= -1e-5).all(), f"cluster {ci} subs not f2b"
+    orig = np.asarray(bigcluster_scene.tri_packed)
+    perm = np.asarray(ordered.tri_packed)
+    assert np.array_equal(
+        np.sort(orig.reshape(-1, 9), axis=0),
+        np.sort(perm.reshape(-1, 9), axis=0))
+    # Record layout consistency: the permuted record must repack the
+    # permuted sub bounds + triangle rows in the same [subs | tris] order.
+    cs = orig.shape[0] // C
+    rec_pad = ordered.cluster_records.shape[0] // C
+    rec = np.asarray(ordered.cluster_records).reshape(C, rec_pad)
+    assert np.array_equal(rec[:, :spc * 6].reshape(-1, 6), sb)
+    assert np.array_equal(
+        rec[:, spc * 6:spc * 6 + cs * 9].reshape(-1, 9),
+        perm.reshape(-1, 9))
+
+    on = render_frame_fused(bigcluster_scene, frame, cfg, interpret=True)
+    monkeypatch.setattr(fk, "_F2B_SUB", False)
+    fk.frame_call.clear_cache()
+    try:
+        off = render_frame_fused(bigcluster_scene, frame, cfg,
+                                 interpret=True)
+    finally:
+        fk.frame_call.clear_cache()
+    assert _rmse(on, off) < 1e-7
+
+
 def test_front_to_back_order(sphere_scene, monkeypatch):
     """Per-frame front-to-back cluster ordering (front_to_back_scene):
     the permuted tables must (a) actually sort clusters by camera

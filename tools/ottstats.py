@@ -101,6 +101,71 @@ def visits_for(o, d, alive, caps, cb, sb, spc, tmin):
     return int(cmask.sum()), vis
 
 
+def sub_hit_t(o, d, cull, tri_a, tri_e1, tri_e2, tmin, tmax):
+    """(N, T/8) best accepted hit t per ray per 8-tri subcluster
+    (+inf where a sub holds no accepted hit for that ray)."""
+    n, T = o.shape[0], tri_a.shape[0]
+    out = np.full((n, T // SUB_TRIS), np.inf, np.float32)
+    for c0 in range(0, T, 2048):
+        a = tri_a[c0:c0 + 2048]
+        e1 = tri_e1[c0:c0 + 2048]
+        e2 = tri_e2[c0:c0 + 2048]
+        p = np.cross(d[:, None, :], e2[None, :, :])
+        det = np.einsum("ntk,tk->nt", p, e1)
+        tv = o[:, None, :] - a[None, :, :]
+        u = np.einsum("ntk,ntk->nt", tv, p)
+        q = np.cross(tv, e1[None, :, :])
+        v = np.einsum("ntk,nk->nt", q, d)
+        tt = np.einsum("ntk,tk->nt", q, e2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = 1.0 / det
+            u = u * inv
+            v = v * inv
+            tt = tt * inv
+        ok = ((det * cull[:, None] > 0) & (u >= 0) & (v >= 0)
+              & (u + v <= 1.0) & (tt >= tmin) & (tt < tmax))
+        tt = np.where(ok, tt, np.float32(np.inf))
+        sl = slice(c0 // SUB_TRIS, (c0 + a.shape[0]) // SUB_TRIS)
+        out[:, sl] = np.minimum(
+            out[:, sl], tt.reshape(n, -1, SUB_TRIS).min(axis=2))
+    return out
+
+
+def kern_visits_seq(o, d, t_sub, cb, sb, spc, tmin, tmax, order,
+                    sub_f2b=False, origin=None):
+    """Emulate SEQUENTIAL sub-word gating: within a visited cluster the
+    32-bit sub gating words are computed one at a time, each reading the
+    caps as tightened by the PREVIOUS words' visits (the kernel today
+    issues all of a cluster's sub words with cluster-entry caps — the
+    unrolled n_groups<=4 path). ``sub_f2b`` additionally orders each
+    cluster's subs front-to-back (per-frame argsort of sub-center
+    distance from ``origin``) before wording them, so the near words
+    tighten the caps the far words are gated with."""
+    n = o.shape[0]
+    caps = np.full(n, tmax, np.float32)
+    c_vis = s_vis = 0
+    for w0 in range(0, len(order), 32):
+        word = order[w0:w0 + 32]
+        bits = slab_overlap(o, d, cb[word, :3], cb[word, 3:], tmin,
+                            caps).any(axis=0)
+        for k in np.nonzero(bits)[0]:
+            ci = word[k]
+            c_vis += 1
+            subs = np.arange(ci * spc, (ci + 1) * spc)
+            if sub_f2b:
+                sc = 0.5 * (sb[subs, :3] + sb[subs, 3:])
+                subs = subs[np.argsort(
+                    ((sc - origin[None, :]) ** 2).sum(axis=1))]
+            for s0 in range(0, spc, 32):
+                sw = subs[s0:s0 + 32]
+                sbits = slab_overlap(o, d, sb[sw, :3], sb[sw, 3:], tmin,
+                                     caps).any(axis=0)
+                s_vis += int(sbits.sum())
+                for si in sw[sbits]:
+                    caps = np.minimum(caps, t_sub[:, si])
+    return c_vis, s_vis
+
+
 def cluster_hit_t(o, d, cull, tri_a, tri_e1, tri_e2, cs, tmin, tmax):
     """(N, C) best hit t per ray per cluster (tmax where none)."""
     n, C = o.shape[0], tri_a.shape[0] // cs
@@ -205,7 +270,8 @@ def main():
     tot = {k: np.zeros((bounces + 1,), np.int64)
            for k in ("live", "rows", "slots", "v_tile", "v_rowpk", "v_octpk",
                      "tiles_live", "c_vis", "v_sub4", "v_sub16", "v_nocap",
-                     "v_kern", "c_kern", "v_seed", "c_seed")}
+                     "v_kern", "c_kern", "v_seed", "c_seed",
+                     "v_seqw", "v_f2bs")}
     # Per-frame front-to-back cluster order (framekernel.front_to_back_
     # scene): ascending center distance from the camera origin.
     centers = 0.5 * (cb[:, :3] + cb[:, 3:])
@@ -308,6 +374,16 @@ def main():
                                        seed_cl=ppar[seg][alive])
                 tot["c_seed"][count] += cs_
                 tot["v_seed"][count] += vs_
+                if oo.shape[0] == 0:
+                    continue
+                tsub = sub_hit_t(oo, dd_, cc, tri_a, tri_e1, tri_e2,
+                                 tmin, tmax)
+                cam_o = np.asarray(frame.origin, np.float32)[:3]
+                tot["v_seqw"][count] += kern_visits_seq(
+                    oo, dd_, tsub, cb, sb, spc, tmin, tmax, f2b)[1]
+                tot["v_f2bs"][count] += kern_visits_seq(
+                    oo, dd_, tsub, cb, sb, spc, tmin, tmax, f2b,
+                    sub_f2b=True, origin=cam_o)[1]
                 for g, (sbg, spcg) in alt.items():
                     tot[f"v_sub{g}"][count] += visits_for(
                         po[seg], pd[seg], alive, bt[seg], cb, sbg, spcg,
@@ -394,7 +470,8 @@ def main():
     print(f"{'cnt':>3} {'tiles':>5} {'slots':>5} {'live':>7} {'rows':>5} "
           f"{'c_vis':>6} {'v_tile':>7} {'v_rowpk':>7} {'v_octpk':>7} "
           f"{'v_sub4':>7} {'v_sub16':>7} {'v_nocap':>7} "
-          f"{'c_kern':>6} {'v_kern':>7} {'c_seed':>6} {'v_seed':>7}")
+          f"{'c_kern':>6} {'v_kern':>7} {'c_seed':>6} {'v_seed':>7} "
+          f"{'v_seqw':>7} {'v_f2bs':>7}")
     for c in range(bounces + 1):
         print(f"{c:>3} {tot['tiles_live'][c]:>5} {tot['slots'][c]:>5} "
               f"{tot['live'][c]:>7} {tot['rows'][c]:>5} "
@@ -403,9 +480,11 @@ def main():
               f"{tot['v_octpk'][c]:>7} {tot['v_sub4'][c]:>7} "
               f"{tot['v_sub16'][c]:>7} {tot['v_nocap'][c]:>7} "
               f"{tot['c_kern'][c]:>6} {tot['v_kern'][c]:>7} "
-              f"{tot['c_seed'][c]:>6} {tot['v_seed'][c]:>7}")
+              f"{tot['c_seed'][c]:>6} {tot['v_seed'][c]:>7} "
+              f"{tot['v_seqw'][c]:>7} {tot['v_f2bs'][c]:>7}")
     for k in ("c_vis", "v_tile", "v_rowpk", "v_octpk", "v_sub4", "v_sub16",
-              "v_nocap", "c_kern", "v_kern", "c_seed", "v_seed"):
+              "v_nocap", "c_kern", "v_kern", "c_seed", "v_seed",
+              "v_seqw", "v_f2bs"):
         print(f"total {k}: {int(tot[k].sum())}")
     # tri tests per layout (the vector-cost proxy)
     print(f"tri tests: sub8={8 * int(tot['v_tile'].sum())} "
