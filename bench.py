@@ -518,20 +518,41 @@ def main():
     def x_compile80k():
         # Cold-compile budget (VERDICT round-2 item 4): wall seconds to
         # trace+compile the fused kernel for the 81,920-tri streamed
-        # config with a FRESH compilation cache, measured in a subprocess
-        # (tools/compiletime.py) so this process's warm cache can't
-        # flatter it.
-        import subprocess
+        # config with a FRESH compilation cache. Measured IN-PROCESS with
+        # a temporarily swapped cache dir — the tunneled dev TPU is
+        # single-client, so the former tools/compiletime.py subprocess
+        # hung on device init behind this process and always timed out
+        # (BENCH_r04 first run). Cold-ness holds without a subprocess:
+        # the swapped dir is empty, and no other bench stage compiles
+        # this (scene-shape, streamed, subdiv-6) jaxpr, so the in-memory
+        # jit cache can't flatter it either.
+        import shutil
+        import tempfile
 
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "compiletime.py"),
-             "6", "1920", "1080", "4"],
-            timeout=min(300, max(60, budget_left())),
-            capture_output=True, text=True)
-        cold = json.loads(r.stdout.strip().splitlines()[-1])
-        result["compile80k_cold_s"] = cold["compile_s"]
+        from refraction_tpu.io.primitives import (
+            make_gradient_envmap, make_icosphere)
+        from refraction_tpu.scene import build_scene
+
+        tmp = tempfile.mkdtemp(prefix="rrt_coldcache_")
+        old_dir = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", tmp)
+        try:
+            scene80, meta80 = build_scene(
+                make_icosphere(subdiv=6, radius=1.2),
+                make_gradient_envmap(64, 128), cluster_size=256)
+            scene80 = scene_to_device(scene80)
+            cfg80 = RenderConfig(
+                width=1920, height=1080, cluster_size=256,
+                max_refract_depth=4, max_reflect_depth=2)
+            render80 = make_renderer(cfg80)
+            t0 = time.time()
+            img80 = render80(scene80, orbit_camera(0.1, cfg80))
+            img80.block_until_ready()
+            result["compile80k_cold_s"] = round(time.time() - t0, 1)
+            result["compile80k_tris"] = int(meta80.num_real_tris)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old_dir)
+            shutil.rmtree(tmp, ignore_errors=True)
 
     extra("compile80k", 120, x_compile80k)
 

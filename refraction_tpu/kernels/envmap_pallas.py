@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.config import REF_PI_ENVMAP
 from refraction_tpu.kernels.intersect_pallas import (
-    _ABLATE, _VISIT_W, _bit_index, iter_set_bits)
+    _ABLATE, _VISIT_W, _bit_index, iter_set_bits, iter_set_bits_fused)
 from refraction_tpu.scene import Scene
 from refraction_tpu.utils.fastmath import acos, atan2
 
@@ -235,14 +235,38 @@ def env_window_tile(x, y, z, alive, env_ref,
     standalone env kernel and the wavefront megakernels."""
     coded = isinstance(env_ref, tuple)
     packed4 = coded and env_ref[1].shape[0] == 6
-    rows = x.shape[0]
-    zero = jnp.zeros((rows, _LANE), jnp.float32)
     q, r, sh = _env_addr(
         _env_flat(x, y, z, height, width), packed4)
 
     big = jnp.int32(2 ** 30)
     q_lo, q_hi = _window_scalars(jnp.where(alive, q, big),
                                  jnp.where(alive, q, -1))
+    return env_window_scan(q, r, sh, q_lo, q_hi, alive, env_ref,
+                           rows_per_chan)
+
+
+def env_window_addr(x, y, z, alive, env_ref, height, width):
+    """The address/window half of env_window_tile: per-lane texel
+    address (q, r, sh) and the scalar row window (q_lo, q_hi) over the
+    ``alive`` lanes. Split out so the fused frame kernel can ISSUE the
+    window roll trees + extracts BEFORE its traversal (their drain then
+    overlaps the traversal's gate-plane vector work) and reuse the
+    result when the traversal proves every lane missed."""
+    coded = isinstance(env_ref, tuple)
+    packed4 = coded and env_ref[1].shape[0] == 6
+    q, r, sh = _env_addr(
+        _env_flat(x, y, z, height, width), packed4)
+    big = jnp.int32(2 ** 30)
+    q_lo, q_hi = _window_scalars(jnp.where(alive, q, big),
+                                 jnp.where(alive, q, -1))
+    return q, r, sh, q_lo, q_hi
+
+
+def env_window_scan(q, r, sh, q_lo, q_hi, alive, env_ref, rows_per_chan):
+    """The scan half of env_window_tile (see env_window_addr)."""
+    coded = isinstance(env_ref, tuple)
+    rows = q.shape[0]
+    zero = jnp.zeros((rows, _LANE), jnp.float32)
     scan = _SCAN_ROWS
     g0 = (q_lo // scan) * scan
     n_groups = q_hi // scan - q_lo // scan + 1
@@ -341,20 +365,45 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
 
 def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
                          rows_per_chan, acc_r, acc_g, acc_b, coded, rows):
+    # Sample-batched callers (framekernel RRT_SPP_BATCH) pass a
+    # (spp*8, 128) direction block but per-PIXEL (8, 128) accumulators:
+    # fold the sample blocks (ascending, matching the sequential sample
+    # loop's accumulation order) before the accumulate store.
+    ar = acc_r.shape[0]
+    if rows != ar:
+        assert rows % ar == 0, (rows, ar)
+
+        def _fold(v):
+            out = v[0:ar, :]
+            for b in range(1, rows // ar):
+                out = out + v[b * ar:(b + 1) * ar, :]
+            return out
+    else:
+        def _fold(v):
+            return v
+
     alive = wgt > 0.0
     packed4 = coded and env_ref[1].shape[0] == 6
     q, r, sh = _env_addr(
         _env_flat(x, y, z, height, width), packed4)
 
-    big = jnp.int32(2 ** 30)
-    q_lo, q_hi = _window_scalars(jnp.where(alive, q, big),
-                                 jnp.where(alive, q, -1))
-    g_lo = q_lo // _ENV_SUB
-    n_groups = q_hi // _ENV_SUB - g_lo + 1  # negative when no lane alive
+    # STATIC word count over the whole table (no row window at all):
+    # the dynamic-window variant paid one or-reduce EXTRACT (+ a Mosaic
+    # loop region) per window word inside a rolled fori — on scattered
+    # secondary rounds that is several ~0.6 us scalar drains per slot
+    # round. With the word count static (4-texel-coded envmap.png: 600
+    # rows -> 75 groups -> 3 words), ALL word planes + OR roll trees
+    # issue before a single batched extract drain, and the visits run in
+    # ONE fused while loop across every word
+    # (intersect_pallas.iter_set_bits_fused — same visit set and order:
+    # occupied groups, ascending). The window reduction itself (a
+    # two-tree drain) disappears with the window.
+    rows_total = env_ref[0].shape[0] if coded else rows_per_chan
+    n_groups_total = -(-rows_total // _ENV_SUB)
+    n_words = -(-n_groups_total // _WORD)  # python int: static
     if "envnoscan" in _ABLATE:
-        n_groups = jnp.int32(0)
-    n_words = (n_groups + _WORD - 1) // _WORD
-    gq = q // _ENV_SUB - g_lo  # per-lane group index rel. to the window
+        n_words = 0
+    gq = q // _ENV_SUB  # per-lane ABSOLUTE group index
 
     def _load_rows(ref, base_rows, chan_base=0):
         """The group's _ENV_SUB rows as (1,128) slices. Loads are always
@@ -369,12 +418,12 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
         return [jnp.where(lo_half, t[j:j + 1, :], t[j + 4:j + 5, :])
                 for j in range(4)]
 
-    def _or_reduce(bits):
+    def _roll_or_plane(bits):
         for s in (64, 32, 16, 8, 4, 2, 1):
             bits = bits | pltpu.roll(bits, s, axis=1)
         for s in _sublane_steps(rows):
             bits = bits | pltpu.roll(bits, s, axis=0)
-        return bits[0, 0]
+        return bits
 
     def word_bits(wi):
         rel = gq - wi * _WORD
@@ -387,7 +436,7 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
         codes_ref, lut_ref = env_ref
 
         def cvisit(g, code_acc):
-            base = (g_lo + g) * _ENV_SUB
+            base = g * _ENV_SUB
             brow = q - base
             for j, rowj in enumerate(_load_rows(codes_ref, base)):
                 # no `alive &`: see env_window_tile's layout note — dead
@@ -398,15 +447,16 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
                 code_acc = jnp.where(mj, g_, code_acc)
             return code_acc
 
-        def cword_body(wi, code_acc):
-            word = _or_reduce(word_bits(wi))
-
-            # Inline popcount iteration carrying code_acc (pl.when is
-            # statement-only; an empty word exits the while immediately).
-            # RRT_PAIR: _VISIT_W groups per trip — cvisit is an
-            # overwrite-select (idempotent), so remainder duplicate
-            # visits are bit-identical and the trip-boundary count
-            # divides (see intersect_pallas.iter_set_bits_paired).
+        # All word planes + OR trees BEFORE the (single) extract drain;
+        # then one fused while loop over every word. cvisit is an
+        # overwrite-select (idempotent), so _VISIT_W-wide picks keep the
+        # iter_set_bits_paired duplicate contract.
+        planes = [_roll_or_plane(word_bits(wi)) for wi in range(n_words)]
+        words = [pl_[0, 0] for pl_ in planes]
+        code0 = jnp.zeros((rows, _LANE), jnp.int32)
+        if n_words == 0:
+            codes = code0
+        elif n_words == 1:
             def body(c):
                 w, acc = c
                 b_prev = None
@@ -415,27 +465,28 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
                     b = _bit_index(iso)
                     if b_prev is not None:
                         b = jnp.where(w != 0, b, b_prev)
-                    acc = cvisit(wi * _WORD + b, acc)
+                    acc = cvisit(b, acc)
                     b_prev = b
                     w = jnp.bitwise_and(w, jnp.bitwise_not(iso))
                 return w, acc
 
-            _, code_acc = jax.lax.while_loop(
-                lambda c: c[0] != 0, body, (word, code_acc))
-            return code_acc
-
-        codes = jax.lax.fori_loop(
-            0, n_words, cword_body, jnp.zeros((rows, _LANE), jnp.int32))
+            _, codes = jax.lax.while_loop(
+                lambda c: c[0] != 0, body, (words[0], code0))
+        else:
+            (codes,) = iter_set_bits_fused(
+                words, [wi * _WORD for wi in range(n_words)],
+                lambda g, c: (cvisit(g, c[0]),), (code0,),
+                width=_VISIT_W)
         cr, cg, cb = _env_decode(codes, lut_ref, rows, sh)
-        acc_r[:] = acc_r[:] + wgt * cr
-        acc_g[:] = acc_g[:] + wgt * cg
-        acc_b[:] = acc_b[:] + wgt * cb
+        acc_r[:] = acc_r[:] + _fold(wgt * cr)
+        acc_g[:] = acc_g[:] + _fold(wgt * cg)
+        acc_b[:] = acc_b[:] + _fold(wgt * cb)
         return
 
     n_chan = 1 if "envr" in _ABLATE else 3  # gather-cost ablation knob
 
     def visit(g):
-        base = (g_lo + g) * _ENV_SUB
+        base = g * _ENV_SUB
         brow = q - base
         chans = [_load_rows(env_ref, base, c * rows_per_chan)
                  for c in range(n_chan)]
@@ -457,25 +508,25 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
                     gg = jnp.where(mj, v, gg)
                 else:
                     gb = jnp.where(mj, v, gb)
-        acc_r[:] = acc_r[:] + wgt * gr
-        acc_g[:] = acc_g[:] + wgt * gg
-        acc_b[:] = acc_b[:] + wgt * gb
+        acc_r[:] = acc_r[:] + _fold(wgt * gr)
+        acc_g[:] = acc_g[:] + _fold(wgt * gg)
+        acc_b[:] = acc_b[:] + _fold(wgt * gb)
 
-    def word_body(wi, _):
-        word = _or_reduce(word_bits(wi))
+    # One scalar-loop trip per SET bit, all words in one fused loop
+    # (width 1: the accumulate STORE is not idempotent, so no
+    # duplicate picks). A two-level variant (one coarse word gating
+    # the fine words) measured WORSE (monkey +0.7 ms, ott +0.7).
+    planes = [_roll_or_plane(word_bits(wi)) for wi in range(n_words)]
+    words = [pl_[0, 0] for pl_ in planes]
+    if n_words == 1:
+        iter_set_bits(words[0], visit)
+    elif n_words > 1:
+        def _vf(g, c):
+            visit(g)
+            return c
 
-        @pl.when(word != 0)
-        def _():
-            # One scalar-loop trip per SET bit (scattered rounds have
-            # ~4-8 occupied groups per word). A two-level variant (one
-            # coarse word gating the fine words) measured WORSE
-            # (monkey +0.7 ms, ott +0.7): windows rarely have enough
-            # empty words to amortize the extra reduction.
-            iter_set_bits(word, lambda b: visit(wi * _WORD + b))
-
-        return 0
-
-    jax.lax.fori_loop(0, n_words, word_body, 0)
+        iter_set_bits_fused(words, [wi * _WORD for wi in range(n_words)],
+                            _vf, (jnp.int32(0),), width=1)
 
 
 def _env_tile(x, y, z, wgt, env_ref, put_r, put_g, put_b,

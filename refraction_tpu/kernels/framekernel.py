@@ -41,7 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 from refraction_tpu.kernels.envmap_pallas import (
-    env_window_accumulate, env_window_tile)
+    env_window_accumulate, env_window_addr, env_window_scan,
+    env_window_tile)
 from refraction_tpu.kernels.intersect_pallas import (
     _ABLATE, _LANE, _SUB, traverse_tile)
 
@@ -63,6 +64,18 @@ _ENV_PATH = os.environ.get("RRT_ENV_PATH", "auto")
 # overlapping cluster visits (deep dielectric trees); measured per scene
 # before flipping any default.
 _SLOT_BATCH = os.environ.get("RRT_SLOT_BATCH", "0") != "0"
+
+# Sample-batched bounce rounds (RRT_SPP_BATCH, default on): at spp > 1
+# every slot's row block widens to (spp*8, 128) — all spp sub-pixel
+# samples of a slot trace as ONE traversal. Unlike slot batching (whose
+# slots are directionally DIVERGENT, so union gating explodes candidate
+# volume), the spp samples of a pixel tile are jittered by <1 pixel:
+# their gate sets are ~identical, so the per-box gate reductions, scalar
+# visit trips, env window reductions and record DMAs are paid once per
+# round instead of once per sample at ~zero extra candidate volume.
+# Requires power-of-two spp (the liveness roll tree) and is mutually
+# exclusive with RRT_SLOT_BATCH.
+_SPP_BATCH = os.environ.get("RRT_SPP_BATCH", "1") != "0"
 
 from refraction_tpu.utils.tileshape import tile_shape
 
@@ -98,6 +111,10 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
     i = pl.program_id(0)
     f32 = jnp.float32
     inv_spp = f32(1.0 / spp)
+    # Slot row-block height: spp*8 under sample batching, else 8.
+    batch_spp = (_SPP_BATCH and spp > 1 and (spp & (spp - 1)) == 0
+                 and not _SLOT_BATCH)
+    SR = spp * _SUB if batch_spp else _SUB
 
     tmin_p = scalars_sm[12]
     tmax_p = scalars_sm[13]
@@ -136,7 +153,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         rad_b[:] = jnp.zeros((_SUB, _LANE), f32)
 
         def do_samples():
-            if spp == 1:
+            if spp == 1 or batch_spp:
                 _sample(gx0, gy0, 0)
             else:
                 # Rolled (not unrolled): a 4x statically-unrolled sample
@@ -167,28 +184,41 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
 
     def _sample(gx0, gy0, s):
         # --- Ray generation (camera.py:98-135 / RayTracing.hlsl:27-40) ---
-        jx = scalars_sm[_N_BASE_SCALARS + 2 * s]
-        jy = scalars_sm[_N_BASE_SCALARS + 2 * s + 1]
-        sx = (gx0 + jx) / f32(width) * f32(2.0) - f32(1.0)
-        sy = -((gy0 + jy) / f32(height) * f32(2.0) - f32(1.0))
-        rx = scalars_sm[0] * sx + scalars_sm[1] * sy + scalars_sm[2]
-        ry = scalars_sm[3] * sx + scalars_sm[4] * sy + scalars_sm[5]
-        rz = scalars_sm[6] * sx + scalars_sm[7] * sy + scalars_sm[8]
-        # no w-divide (RayTracing.hlsl:39)
-        inv_len = f32(1.0) / jnp.sqrt(rx * rx + ry * ry + rz * rz)
-        p_ox[0:_SUB, :] = jnp.broadcast_to(scalars_sm[9], (_SUB, _LANE))
-        p_oy[0:_SUB, :] = jnp.broadcast_to(scalars_sm[10], (_SUB, _LANE))
-        p_oz[0:_SUB, :] = jnp.broadcast_to(scalars_sm[11], (_SUB, _LANE))
-        p_dx[0:_SUB, :] = rx * inv_len
-        p_dy[0:_SUB, :] = ry * inv_len
-        p_dz[0:_SUB, :] = rz * inv_len
-        p_cull[0:_SUB, :] = jnp.ones((_SUB, _LANE), f32)
-        p_wgt[0:_SUB, :] = jnp.ones((_SUB, _LANE), f32)
+        def _ray_dirs(s_):
+            jx = scalars_sm[_N_BASE_SCALARS + 2 * s_]
+            jy = scalars_sm[_N_BASE_SCALARS + 2 * s_ + 1]
+            sx = (gx0 + jx) / f32(width) * f32(2.0) - f32(1.0)
+            sy = -((gy0 + jy) / f32(height) * f32(2.0) - f32(1.0))
+            rx = scalars_sm[0] * sx + scalars_sm[1] * sy + scalars_sm[2]
+            ry = scalars_sm[3] * sx + scalars_sm[4] * sy + scalars_sm[5]
+            rz = scalars_sm[6] * sx + scalars_sm[7] * sy + scalars_sm[8]
+            # no w-divide (RayTracing.hlsl:39)
+            inv_len = f32(1.0) / jnp.sqrt(rx * rx + ry * ry + rz * rz)
+            return rx * inv_len, ry * inv_len, rz * inv_len
+
+        if batch_spp:
+            # All spp samples' primaries fill slot 0's (spp*8, 128)
+            # block — sample b at rows [b*8, (b+1)*8).
+            for s_ in range(spp):
+                dx_, dy_, dz_ = _ray_dirs(s_)
+                p_dx[s_ * _SUB:(s_ + 1) * _SUB, :] = dx_
+                p_dy[s_ * _SUB:(s_ + 1) * _SUB, :] = dy_
+                p_dz[s_ * _SUB:(s_ + 1) * _SUB, :] = dz_
+        else:
+            dx_, dy_, dz_ = _ray_dirs(s)
+            p_dx[0:_SUB, :] = dx_
+            p_dy[0:_SUB, :] = dy_
+            p_dz[0:_SUB, :] = dz_
+        p_ox[0:SR, :] = jnp.broadcast_to(scalars_sm[9], (SR, _LANE))
+        p_oy[0:SR, :] = jnp.broadcast_to(scalars_sm[10], (SR, _LANE))
+        p_oz[0:SR, :] = jnp.broadcast_to(scalars_sm[11], (SR, _LANE))
+        p_cull[0:SR, :] = jnp.ones((SR, _LANE), f32)
+        p_wgt[0:SR, :] = jnp.ones((SR, _LANE), f32)
         if n_slots > 1:
             # Children slots start dead so the packed flags pass (below)
             # can always derive liveness from the whole pool.
-            p_cull[_SUB:n_slots * _SUB, :] = jnp.zeros(
-                ((n_slots - 1) * _SUB, _LANE), f32)
+            p_cull[SR:n_slots * SR, :] = jnp.zeros(
+                ((n_slots - 1) * SR, _LANE), f32)
 
         # --- Bounce tree (integrator.py widths). Rounds 0..max_reflect
         # are statically unrolled (their slot width / env path / spawn
@@ -297,15 +327,15 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
     def _flags_pass():
         # All slots' liveness in ONE reduction: tag each live lane with
         # its slot's bit, OR-reduce the whole pool, unpack to SMEM flags.
-        cull_all = p_cull[0:n_slots * _SUB, :]
+        cull_all = p_cull[0:n_slots * SR, :]
         row_slot = jax.lax.broadcasted_iota(
-            jnp.int32, (n_slots * _SUB, _LANE), 0) // _SUB
+            jnp.int32, (n_slots * SR, _LANE), 0) // SR
         bits = jnp.where(cull_all != 0.0,
                          jnp.left_shift(jnp.int32(1), row_slot),
                          jnp.int32(0))
         for s in (64, 32, 16, 8, 4, 2, 1):
             bits = bits | pltpu.roll(bits, s, axis=1)
-        st = n_slots * _SUB // 2
+        st = n_slots * SR // 2
         while st >= 1:
             bits = bits | pltpu.roll(bits, st, axis=0)
             st //= 2
@@ -327,12 +357,27 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
 
     def _slot_body(slot, w_slots, tmin, tmax, is_last, spawn_reflect,
                    primary):
-        r = pl.ds(slot * _SUB, _SUB)  # slot may be traced (rolled loop)
+        r = pl.ds(slot * SR, SR)  # slot may be traced (rolled loop)
         cu = p_cull[r, :]
         o_x, o_y, o_z = p_ox[r, :], p_oy[r, :], p_oz[r, :]
         d_x, d_y, d_z = p_dx[r, :], p_dy[r, :], p_dz[r, :]
         w = p_wgt[r, :]
         alive = cu != 0.0
+
+        # Speculative primary env hoist: on the primary round the env
+        # row window over ALL alive lanes is computed (and its roll
+        # trees + scalar extracts ISSUED) before the traversal, so the
+        # window drain overlaps the traversal's gate-plane vector work.
+        # When the traversal then proves no lane could hit (possible ==
+        # 0 — the majority of tiles when the object is small on screen)
+        # the miss set IS the alive set and the scan below reuses this
+        # window, skipping the post-traversal window drain entirely.
+        env_tile = (_ENV_PATH == "tile"
+                    or (_ENV_PATH == "auto" and primary))
+        pre_env = primary and env_tile and "noenv" not in _ABLATE
+        if pre_env:
+            pq, pr_, psh, plo, phi = env_window_addr(
+                d_x, d_y, d_z, alive, env_ref, env_h, env_w)
 
         # The depth-cap round only needs the hit/miss decision (hits
         # contribute black — RayTracing.hlsl:82): any-hit mode skips
@@ -345,7 +390,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
             any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
             num_supers=n_supers)
 
-        t = best_t[0:_SUB, :]
+        t = best_t[0:SR, :]
         hit = (t < tmax) & alive
         miss = alive & ~hit
 
@@ -355,20 +400,41 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         # slots): a batched (32,128) scan over the UNION window of four
         # diverged slots measured ~10 ms/frame slower.
         miss_w = jnp.where(miss, w, 0.0)
+
+        def _fold(v):
+            # Sample-batched: fold the (spp*8, 128) block into the
+            # per-pixel (8, 128) accumulator, ascending.
+            out = v[0:_SUB, :]
+            for b in range(1, SR // _SUB):
+                out = out + v[b * _SUB:(b + 1) * _SUB, :]
+            return out
+
+        def _env_add(er, eg, eb):
+            rad_r[:] = rad_r[:] + _fold(miss_w * er)
+            rad_g[:] = rad_g[:] + _fold(miss_w * eg)
+            rad_b[:] = rad_b[:] + _fold(miss_w * eb)
+
         # "auto": primary misses (count 0) are angularly coherent — the
         # plain windowed scan's lower per-group cost wins; refracted
         # misses (count > 0) scatter across the map — occupancy gating
         # collapses the wide window to the occupied groups.
-        env_tile = (_ENV_PATH == "tile"
-                    or (_ENV_PATH == "auto" and primary))
         if "noenv" not in _ABLATE:
-            if env_tile:
-                er, eg, eb = env_window_tile(
+            if pre_env:
+                @pl.when(possible == 0)
+                def _env_premiss():
+                    # Every alive lane missed: reuse the hoisted window.
+                    _env_add(*env_window_scan(
+                        pq, pr_, psh, plo, phi, alive, env_ref, env_rows))
+
+                @pl.when(possible != 0)
+                def _env_hit_tile():
+                    _env_add(*env_window_tile(
+                        d_x, d_y, d_z, miss_w > 0.0, env_ref,
+                        env_h, env_w, env_rows))
+            elif env_tile:
+                _env_add(*env_window_tile(
                     d_x, d_y, d_z, miss_w > 0.0, env_ref,
-                    env_h, env_w, env_rows)
-                rad_r[:] = rad_r[:] + miss_w * er
-                rad_g[:] = rad_g[:] + miss_w * eg
-                rad_b[:] = rad_b[:] + miss_w * eb
+                    env_h, env_w, env_rows))
             else:
                 env_window_accumulate(
                     d_x, d_y, d_z, miss_w, env_ref, env_h, env_w, env_rows,
@@ -385,18 +451,18 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
         # overwrites them when a hit is possible. The loaded cu/w/d_*
         # values above predate these stores, so the shade math is
         # unaffected.
-        z = jnp.zeros((_SUB, _LANE), jnp.float32)
-        p_cull[pl.ds(slot * _SUB, _SUB), :] = z
+        z = jnp.zeros((SR, _LANE), jnp.float32)
+        p_cull[pl.ds(slot * SR, SR), :] = z
         if spawn_reflect:
-            p_cull[pl.ds((slot + w_slots) * _SUB, _SUB), :] = z
+            p_cull[pl.ds((slot + w_slots) * SR, SR), :] = z
 
         @pl.when(possible != 0)
         def _shade_and_spawn():
             # Hit shading (RayTracing.hlsl:79-123) — identical math to
             # megakernel._mega_kernel, but children stay in the VMEM pool.
-            nx_ = best_nx[0:_SUB, :]
-            ny_ = best_ny[0:_SUB, :]
-            nz_ = best_nz[0:_SUB, :]
+            nx_ = best_nx[0:SR, :]
+            ny_ = best_ny[0:SR, :]
+            nz_ = best_nz[0:SR, :]
             nlen2 = nx_ * nx_ + ny_ * ny_ + nz_ * nz_
             inv_nlen = jax.lax.rsqrt(jnp.maximum(nlen2, jnp.float32(1e-30))) * cu
             npx = nx_ * inv_nlen
@@ -424,7 +490,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                 jnp.maximum(rx * rx + ry * ry + rz * rz, jnp.float32(1e-30)))
             f_alive = hit & refr_ok
 
-            r = pl.ds(slot * _SUB, _SUB)
+            r = pl.ds(slot * SR, SR)
             p_ox[r, :] = hpx
             p_oy[r, :] = hpy
             p_oz[r, :] = hpz
@@ -438,7 +504,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                 # Reflection child at slot + width (hlsl:66-68,110-123),
                 # spawned on EVERY hit (even under TIR), keeping the parent's
                 # side; liveness is the explicit hit mask.
-                r2 = pl.ds((slot + w_slots) * _SUB, _SUB)
+                r2 = pl.ds((slot + w_slots) * SR, SR)
                 sx_ = d_x - 2.0 * dot_dn * npx
                 sy_ = d_y - 2.0 * dot_dn * npy
                 sz_ = d_z - 2.0 * dot_dn * npz
@@ -729,10 +795,14 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
         max_reflect=max_reflect, n_slots=n_slots, n_supers=n_supers,
         tile_stride=tile_stride, n_tiles_real=n_tiles_real,
     )
-    pool = lambda dt: pltpu.VMEM((n_slots * _SUB, _LANE), dt)  # noqa: E731
+    # Slot row-block height (must mirror _frame_kernel's batch_spp/SR).
+    batch_spp = (_SPP_BATCH and spp > 1 and (spp & (spp - 1)) == 0
+                 and not _SLOT_BATCH)
+    sr = spp * _SUB if batch_spp else _SUB
+    pool = lambda dt: pltpu.VMEM((n_slots * sr, _LANE), dt)  # noqa: E731
     # Batched-slot rounds traverse the whole w-slot front at once, so the
-    # winner scratch must span the pool; per-slot mode uses one tile.
-    best_rows = n_slots * _SUB if _SLOT_BATCH else _SUB
+    # winner scratch must span the pool; per-slot mode uses one row block.
+    best_rows = n_slots * _SUB if _SLOT_BATCH else sr
     scratch = [
         pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),
         pool(jnp.float32), pool(jnp.float32), pool(jnp.float32),

@@ -69,6 +69,32 @@ def test_fused_spp_loop(sphere_scene):
     assert _rmse(ref, fused) < 1e-5
 
 
+def test_spp_batch_parity(sphere_scene, monkeypatch):
+    """RRT_SPP_BATCH (all spp sub-pixel samples of a slot traced as one
+    (spp*8, 128) block) must match the sequential per-sample loop: the
+    per-lane traversal/shading math is identical (union gating is
+    conservative), only the radiance accumulation order differs — so
+    near-equality, same tolerance as the other schedule knobs."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
+                       max_reflect_depth=2, spp=4, backend="xla")
+    frame = orbit_camera(0.5, cfg)
+
+    monkeypatch.setattr(fk, "_SPP_BATCH", False)
+    fk.frame_call.clear_cache()
+    a = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                      interpret=True))
+    monkeypatch.setattr(fk, "_SPP_BATCH", True)
+    fk.frame_call.clear_cache()
+    try:
+        b = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                          interpret=True))
+    finally:
+        fk.frame_call.clear_cache()
+    np.testing.assert_allclose(a, b, atol=2e-6, rtol=0)
+
+
 def test_fused_no_reflection_slots(sphere_scene):
     """max_reflect_depth=0 collapses the pool to one slot."""
     cfg = RenderConfig(width=64, height=64, max_refract_depth=3,
