@@ -446,9 +446,16 @@ def test_f2b_sub_order(bigcluster_scene, monkeypatch):
     multiset, sub AABBs actually sorted by camera distance within each
     cluster, records re-packed to match — and the rendered image equals
     the unordered one up to coincident-hit tie-breaks (none here).
-    Exercises both the resident and streamed table layouts."""
-    import refraction_tpu.kernels.framekernel as fk
+    Exercises both the resident and streamed table layouts.
 
+    RRT_F2B_SUB is gated on RRT_SEQGATE (without sequential word gating
+    a sub permutation cannot change any gate) and seqgate defaults OFF
+    (measured loser) — so the knob pair is forced on here."""
+    import refraction_tpu.kernels.framekernel as fk
+    import refraction_tpu.kernels.intersect_pallas as ip
+
+    monkeypatch.setattr(ip, "_SEQGATE", True)
+    monkeypatch.setattr(fk, "_F2B_SUB", True)
     cfg = RenderConfig(width=64, height=32, max_refract_depth=3,
                        backend="xla")
     frame = orbit_camera(0.7, cfg)
@@ -477,6 +484,7 @@ def test_f2b_sub_order(bigcluster_scene, monkeypatch):
         rec[:, spc * 6:spc * 6 + cs * 9].reshape(-1, 9),
         perm.reshape(-1, 9))
 
+    fk.frame_call.clear_cache()  # earlier tests cached other knob states
     on = render_frame_fused(bigcluster_scene, frame, cfg, interpret=True)
     monkeypatch.setattr(fk, "_F2B_SUB", False)
     fk.frame_call.clear_cache()
