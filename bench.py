@@ -236,6 +236,23 @@ def _batched_dispatch_dt(scene, cfg, n_bursts=4, batch=32):
     return (time.time() - t0) / (n_bursts * batch)
 
 
+def _load_prev_bench():
+    """Most recent committed BENCH_r*.json's parsed result, for vs_prev
+    per-stage deltas (VERDICT round-4 item 8). Returns (name, dict) or
+    (None, None)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(files):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed")
+            if isinstance(parsed, dict):
+                return os.path.basename(path), parsed
+        except Exception:
+            continue
+    return None, None
+
+
 def main():
     """Timeout-proof contract (VERDICT round-3 item 1): the FULL cumulative
     JSON line is printed (and flushed) immediately after the headline
@@ -327,11 +344,27 @@ def main():
         "compile_s": round(compile_s, 1),
     }
 
+    # Per-stage regression deltas vs the previous round's driver-captured
+    # artifact (VERDICT round-4 item 8): a regression shows up in the
+    # artifact itself, not only in a judge's diff.
+    prev_name, prev = _load_prev_bench()
+
     def emit():
         """Print the FULL cumulative JSON line and flush. Called after the
         headline and after every completed extra so a driver timeout at
         any point still leaves a complete, parseable artifact as the last
         stdout line (VERDICT round-3 item 1)."""
+        if prev:
+            deltas = {"ref": prev_name}
+            for k in ("value", "frame_ms", "device_ms", "mrays_live",
+                      "ref_demo_device_ms", "ott_device_ms",
+                      "config5_device_ms", "spp4_frame_ms", "compile_s",
+                      "compile80k_cold_s"):
+                a, b = result.get(k), prev.get(k)
+                if isinstance(a, (int, float)) and isinstance(b,
+                                                              (int, float)):
+                    deltas[k] = round(a - b, 2)
+            result["vs_prev"] = deltas
         print(json.dumps(result), flush=True)
 
     def refresh_fps(new_dt):
@@ -545,11 +578,21 @@ def main():
                 width=1920, height=1080, cluster_size=256,
                 max_refract_depth=4, max_reflect_depth=2)
             render80 = make_renderer(cfg80)
+            # Guarantee cold-ness instead of resting on "no other stage
+            # compiles this shape": drop every in-memory jit/compilation
+            # cache (ADVICE r4). Safe here — compile80k is the last
+            # stage, nothing re-runs the earlier renderers.
+            jax.clear_caches()
             t0 = time.time()
             img80 = render80(scene80, orbit_camera(0.1, cfg80))
             img80.block_until_ready()
             result["compile80k_cold_s"] = round(time.time() - t0, 1)
             result["compile80k_tris"] = int(meta80.num_real_tris)
+            if budget_left() < 0:
+                result["compile80k_note"] = (
+                    "stage overran the wall budget (in-process compile "
+                    "can't be interrupted; subprocess isolation hangs "
+                    "behind the single-client TPU tunnel)")
         finally:
             jax.config.update("jax_compilation_cache_dir", old_dir)
             shutil.rmtree(tmp, ignore_errors=True)

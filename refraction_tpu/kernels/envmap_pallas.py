@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from refraction_tpu.config import REF_PI_ENVMAP
 from refraction_tpu.kernels.intersect_pallas import (
-    _ABLATE, _VISIT_W, _bit_index, iter_set_bits, iter_set_bits_fused)
+    _ABLATE, _VISIT_W, _bit_index, iter_set_bits, iter_set_bits_carry,
+    iter_set_bits_fused)
 from refraction_tpu.scene import Scene
 from refraction_tpu.utils.fastmath import acos, atan2
 
@@ -61,6 +62,16 @@ assert 32 % _SCAN_ROWS == 0, (
 # select per row).
 _ENV_SUB = int(os.environ.get("RRT_ENV_SUB", "8"))
 assert _ENV_SUB in (4, 8), f"RRT_ENV_SUB={_ENV_SUB} must be 4 or 8"
+# env_window_accumulate's static-word path materializes one gate word
+# (plane + OR roll tree) per _WORD row-groups of the WHOLE env table —
+# a win on the shipped coded assets (600 rows -> 3 words: all trees
+# issue before one batched extract drain) but O(table size) per call on
+# big maps. Above this many static words it falls back to a dynamic
+# word WINDOW: two roll reductions find [min, max] occupied word and a
+# fori visits only those, paying one extract per window word instead of
+# n_words unconditional planes. 8 (=2048 rows at _ENV_SUB=8) keeps every
+# shipped asset on the measured-fast static path.
+_STATIC_ENV_WORDS = int(os.environ.get("RRT_ENV_STATIC_WORDS", "8"))
 
 
 def _sublane_steps(rows: int):
@@ -405,6 +416,14 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
         n_words = 0
     gq = q // _ENV_SUB  # per-lane ABSOLUTE group index
 
+    # Large-table fallback (see _STATIC_ENV_WORDS): dynamic word window.
+    dyn_words = n_words > _STATIC_ENV_WORDS
+    if dyn_words:
+        wq = gq // _WORD
+        lo_w = _roll_min(jnp.where(alive, wq, jnp.int32(2 ** 30)))
+        hi_w = _roll_max(jnp.where(alive, wq, jnp.int32(-1)))
+        n_dyn = hi_w - lo_w + 1  # <= 0 when no lane is alive: zero trips
+
     def _load_rows(ref, base_rows, chan_base=0):
         """The group's _ENV_SUB rows as (1,128) slices. Loads are always
         8-row aligned; at _ENV_SUB=4 the half-group picks its 4 rows out
@@ -451,12 +470,22 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
         # then one fused while loop over every word. cvisit is an
         # overwrite-select (idempotent), so _VISIT_W-wide picks keep the
         # iter_set_bits_paired duplicate contract.
-        planes = [_roll_or_plane(word_bits(wi)) for wi in range(n_words)]
-        words = [pl_[0, 0] for pl_ in planes]
         code0 = jnp.zeros((rows, _LANE), jnp.int32)
-        if n_words == 0:
+        if dyn_words:
+            def wbody(i, codes):
+                wi = lo_w + i
+                w = _roll_or_plane(word_bits(wi))[0, 0]
+                (codes,) = iter_set_bits_carry(
+                    w, lambda b, c: (cvisit(wi * _WORD + b, c[0]),),
+                    (codes,), width=_VISIT_W)
+                return codes
+
+            codes = jax.lax.fori_loop(0, n_dyn, wbody, code0)
+        elif n_words == 0:
             codes = code0
         elif n_words == 1:
+            words = [_roll_or_plane(word_bits(0))[0, 0]]
+
             def body(c):
                 w, acc = c
                 b_prev = None
@@ -473,6 +502,8 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
             _, codes = jax.lax.while_loop(
                 lambda c: c[0] != 0, body, (words[0], code0))
         else:
+            planes = [_roll_or_plane(word_bits(wi)) for wi in range(n_words)]
+            words = [pl_[0, 0] for pl_ in planes]
             (codes,) = iter_set_bits_fused(
                 words, [wi * _WORD for wi in range(n_words)],
                 lambda g, c: (cvisit(g, c[0]),), (code0,),
@@ -516,6 +547,15 @@ def _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
     # (width 1: the accumulate STORE is not idempotent, so no
     # duplicate picks). A two-level variant (one coarse word gating
     # the fine words) measured WORSE (monkey +0.7 ms, ott +0.7).
+    if dyn_words:
+        def wbody(i, c):
+            wi = lo_w + i
+            iter_set_bits(_roll_or_plane(word_bits(wi))[0, 0],
+                          lambda b: visit(wi * _WORD + b))
+            return c
+
+        jax.lax.fori_loop(0, n_dyn, wbody, jnp.int32(0))
+        return
     planes = [_roll_or_plane(word_bits(wi)) for wi in range(n_words)]
     words = [pl_[0, 0] for pl_ in planes]
     if n_words == 1:

@@ -902,8 +902,11 @@ def build_scalars(frame, cfg, offsets) -> jnp.ndarray:
 _F2B = os.environ.get("RRT_F2B", "1") != "0"
 
 # Front-to-back SUBCLUSTER ordering within each cluster (RRT_F2B_SUB).
-# Only matters when a cluster spans >1 sub gating word (cluster_size >
-# 32*SUB_TRIS = 256) AND sequential word gating (RRT_SEQGATE) is on:
+# Requires RRT_F2B=1 as well: front_to_back_scene returns early when
+# _F2B is off, so sub ordering silently disables with it (both orders
+# come from the same per-frame permutation prelude). Only matters when a
+# cluster spans >1 sub gating word (cluster_size > 32*SUB_TRIS = 256)
+# AND sequential word gating (RRT_SEQGATE) is on:
 # the near words then tighten the caps the far words are gated with.
 # Emulated visit counts (tools/ottstats.py v_kern -> v_f2bs, stride-64/7
 # samples): ott C=1024 3019 -> 2871 (-4.9%), monkey C=1024 3740 -> 3455

@@ -387,6 +387,15 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     measure-zero deviation from the inclusive reference test
     (RayTracing.hlsl:60 TMax), recorded in PARITY.md.
 
+    Returns a scalar ``possible`` (OR of the top-level gate words). When
+    it is 0 — no box gated on for ANY lane — the whole traversal body is
+    skipped and every best_* scratch ref is GARBAGE for the entire tile
+    (in defer-norms mode best_nx/ny/nz are not even initialized, not the
+    (0,1,0) default the resolve writes for non-hit lanes): callers MUST
+    gate every read of the best_* refs behind ``possible != 0`` (the
+    fused frame kernel does; a no-hit tile shades as all-miss either
+    way, since best_t keeps its tmax init).
+
     With ``any_hit=True`` (the final bounce round, where hits contribute
     black and only the hit/miss decision matters — RayTracing.hlsl:82)
     the winner's index/normal tracking is skipped and a lane's best_t is

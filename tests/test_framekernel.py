@@ -369,6 +369,40 @@ def test_fused_palette_envmap_matches_xla():
     assert _rmse(ref, fused) < 1e-5
 
 
+def test_env_dyn_word_window_parity(sphere_scene, monkeypatch):
+    """Large-envmap fallback (envmap_pallas._STATIC_ENV_WORDS): when the
+    static word count would span too much of the table, the accumulate
+    scan switches to a dynamic word window (fori over [min, max] occupied
+    word). Same visit set and order (occupied groups, ascending), so the
+    output must be bit-identical on both the uncoded 3-plane path and the
+    coded path; forcing the threshold to 0 exercises the fallback on the
+    small test maps."""
+    import refraction_tpu.kernels.envmap_pallas as ep
+    import refraction_tpu.kernels.framekernel as fk
+
+    env = make_gradient_envmap(64, 128)
+    coded_env = (np.round(env * 255.0) / 255.0).astype(np.float32)
+    coded_scene, _ = build_scene(make_icosphere(2), coded_env,
+                                 cluster_size=32)
+    assert coded_scene.env_codes.shape[0] > 1
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       backend="xla")
+    frame = orbit_camera(0.3, cfg)
+    for scene in (sphere_scene, coded_scene):
+        fk.frame_call.clear_cache()
+        base = np.asarray(render_frame_fused(scene, frame, cfg,
+                                             interpret=True))
+        monkeypatch.setattr(ep, "_STATIC_ENV_WORDS", 0)
+        fk.frame_call.clear_cache()
+        try:
+            dyn = np.asarray(render_frame_fused(scene, frame, cfg,
+                                                interpret=True))
+        finally:
+            monkeypatch.undo()
+            fk.frame_call.clear_cache()
+        assert np.array_equal(base, dyn)
+
+
 @pytest.fixture(scope="module")
 def bigcluster_scene():
     """A scene whose clusters span >1 sub gating word (spc = 128 -> 4
