@@ -117,6 +117,18 @@ def make_renderer(
         def render_fused(scene: Scene, frame: CameraFrame) -> jnp.ndarray:
             return _render_fused(scene, build_scalars(frame, cfg, offsets))
 
+        # AOT hooks (bench.py): compile the frame program WITHOUT
+        # executing it, so compile wall time can be measured separately
+        # from the first dispatch+sync — the dev relay intermittently
+        # wedges on D2H for many minutes, and a wedge during the first
+        # sync must not masquerade as compile time (BENCH_r04's
+        # compile_s=1054.7 vs the same run's 16.8 s in-process 80k cold
+        # compile). The jit object is shared, so the later render_fused
+        # calls reuse the compiled executable.
+        render_fused.jitted = _render_fused
+        render_fused.make_scalars = (
+            lambda frame: build_scalars(frame, cfg, offsets))
+
     def _mega_ok(scene: Scene) -> bool:
         # The fused kernel keeps the envmap in VMEM; triangle tables are
         # either SMEM-resident or streamed per cluster (any size).
@@ -164,6 +176,9 @@ def make_renderer(
             jnp.asarray(frame.origin, jnp.float32),
         )
 
+    if mega:
+        render.jitted = render_fused.jitted
+        render.make_scalars = render_fused.make_scalars
     return render
 
 

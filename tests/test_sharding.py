@@ -142,6 +142,39 @@ def test_fused_sharded_matches_fused_single(sphere_scene, small_cfg, w, h):
     np.testing.assert_allclose(single, sharded, rtol=0, atol=1e-7)
 
 
+def test_fused_sharded_streamed_big_scene(small_cfg):
+    """Streamed-geometry fused kernel UNDER multi-device pixel DP
+    (VERDICT round-4 item 6): a >SMEM-budget scene (81,920-tri synthetic
+    — the class DXR's size-agnostic AS build covers,
+    RefractionDemo.cpp:272-361) renders through
+    make_fused_sharded_renderer, which must route every shard onto the
+    HBM-record DMA-ring traversal (fits_smem False) and still match the
+    single-device streamed render bit-for-bit. Depth 2 keeps the
+    interpret-mode cost bounded (~3 min); the streamed+DP combination is
+    what's under test, not the bounce tree."""
+    from refraction_tpu.io.primitives import (
+        make_gradient_envmap, make_icosphere)
+    from refraction_tpu.kernels.framekernel import (
+        fits_smem, render_frame_fused)
+    from refraction_tpu.parallel.sharding import make_fused_sharded_renderer
+    from refraction_tpu.scene import build_scene
+
+    scene, meta = build_scene(
+        make_icosphere(subdiv=6, radius=1.2), make_gradient_envmap(64, 128),
+        cluster_size=512)
+    assert meta.num_real_tris == 81920
+    assert not fits_smem(scene)  # the sharded renderer must stream
+    cfg = small_cfg.replace(width=64, height=48, max_refract_depth=2,
+                            backend="xla")
+    frame = orbit_camera(0.3, cfg)
+    single = np.asarray(render_frame_fused(scene, frame, cfg,
+                                           interpret=True))
+    sharded = np.asarray(
+        make_fused_sharded_renderer(cfg, make_mesh(8), interpret=True)(
+            scene, frame))
+    assert np.array_equal(single, sharded)
+
+
 def test_mega_in_shard_map(sphere_scene, small_cfg):
     """The fused megakernel runs under shard_map (the multi-chip config)
     and matches the single-device modular path."""

@@ -46,6 +46,14 @@ SPECS = {
     "ott_384x256": dict(
         width=384, height=256, scene="ott.obj", angle=0.53,
         max_refract_depth=5, max_reflect_depth=2, cluster_size=256),
+    # Supersampled golden (VERDICT r4 item 4): pins the sample-batched
+    # spp path (framekernel RRT_SPP_BATCH — jitter SMEM indexing,
+    # (spp*8,128) blocks, per-pixel fold) through compiled Mosaic; the
+    # oracle side is the mean of per-sample renders at the same
+    # render.sample_offsets jitters.
+    "monkey_384x256_spp4": dict(
+        width=384, height=256, scene="monkey.obj", angle=0.37, spp=4,
+        max_refract_depth=4, max_reflect_depth=2, cluster_size=128),
 }
 SPEC = SPECS["monkey_384x256"]  # back-compat alias
 
@@ -58,14 +66,33 @@ def golden_cfg(asset_dir: str, spec=None):
         width=spec["width"], height=spec["height"],
         scene_path=os.path.join(asset_dir, spec["scene"]),
         envmap_path=os.path.join(asset_dir, "envmap.png"),
-        backend="pallas",
+        backend="pallas", spp=spec.get("spp", 1),
         max_refract_depth=spec["max_refract_depth"],
         max_reflect_depth=spec["max_reflect_depth"],
         cluster_size=spec["cluster_size"])
 
 
-def main():
+def oracle_image(scene, cfg, angle):
+    """Oracle render matching the kernel's supersampling contract: the
+    mean of per-sample renders at render.sample_offsets' jitters (the
+    kernel averages its spp in-kernel with the same offsets)."""
     from oracle.numpy_tracer import render_oracle
+    from refraction_tpu.render import sample_offsets
+
+    if cfg.spp == 1:
+        return render_oracle(scene, cfg, angle=angle)
+    offs = sample_offsets(cfg.spp)
+    n = cfg.height * cfg.width
+    acc = None
+    for s in range(cfg.spp):
+        jit_s = np.broadcast_to(offs[s], (n, 2))
+        img = render_oracle(scene, cfg, angle=angle,
+                            jitter=jit_s).astype(np.float64)
+        acc = img if acc is None else acc + img
+    return (acc / cfg.spp).astype(np.float32)
+
+
+def main():
     from refraction_tpu.scene import load_scene
 
     asset_dir = os.environ.get("RRT_ASSET_DIR", "/root/reference")
@@ -76,8 +103,7 @@ def main():
         cfg = golden_cfg(asset_dir, spec)
         scene, meta = load_scene(cfg)
         t0 = time.time()
-        img = render_oracle(scene, cfg, angle=spec["angle"]).astype(
-            np.float32)
+        img = oracle_image(scene, cfg, spec["angle"]).astype(np.float32)
         dt = time.time() - t0
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         path = os.path.join(GOLDEN_DIR, f"{name}.npy")
