@@ -363,7 +363,7 @@ _FUSEWORDS = os.environ.get("RRT_FUSEWORDS", "1") != "0"
 # e.g. shell's 128) keep RRT_PAIR width 2 — width 4 measured +0.28 ms
 # there (round-4 per-word sweep).
 _FUSE_W = int(os.environ.get("RRT_PAIR_FUSED", "4"))
-assert _FUSE_W in (1, 2, 4)
+assert _FUSE_W in (1, 2, 4, 8)
 
 
 # Clusters per coarse third-level AABB (hier mode): SUPER_CLUSTERS,
@@ -653,6 +653,21 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                 b2 = _real(rel0 + _gz, n_boxes, cur)
                 return b1 | b2
 
+        if count == 1 and carry is None and pre_visit is None:
+            # Single-box scan (the cluster level of a single-cluster
+            # scene — monkey's auto tier): the set-bit while machinery
+            # (isolate + 5-mask _bit_index + clear, plus a loop region
+            # per gated round) degenerates to ONE conditional region.
+            # Visit set identical: bit 0 set <=> region taken; ~0.5 us
+            # of scalar work saved per gated tile-round.
+            word = or_reduce_scalar(group_bits(0, 1))
+
+            @pl.when(word != 0)
+            def _single():
+                visit(start)
+
+            return word
+
         if carry is not None and _SEQGATE and n_groups > 1:
             # Sequential words (RRT_SEQGATE): word g's gate plane reads
             # the carry as tightened by words < g. Unrolled when small
@@ -674,10 +689,11 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
             return jax.lax.fori_loop(0, n_groups, seq_body, cr)
 
-        if n_groups <= 4:
+        if n_groups <= 8:
             # Statically small scan (every shipped scene's cluster, super
-            # and subcluster levels): unroll the word loop, issue ALL
-            # words' gate planes + OR roll trees before the first scalar
+            # and subcluster levels — and the 8-word sub scans RRT_SUBTRIS=4
+            # produces at cluster_size 1024): unroll the word loop, issue
+            # ALL words' gate planes + OR roll trees before the first scalar
             # read, and give tail words their real box count (no clamped-
             # index slab tests). The read grouping measured NEUTRAL on
             # device — Mosaic already schedules scalar reads by dataflow,

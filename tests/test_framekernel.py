@@ -369,6 +369,27 @@ def test_fused_palette_envmap_matches_xla():
     assert _rmse(ref, fused) < 1e-5
 
 
+def test_single_cluster_fast_path(sphere_scene):
+    """A single-cluster scene (monkey's auto tier: C == 1) takes
+    gated_loop's one-box pl.when fast path at the cluster level; the
+    image must match the XLA reference exactly like the multi-cluster
+    layout of the same mesh (same visit set: bit 0 <=> region taken)."""
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       backend="xla")
+    one_cluster, _ = build_scene(
+        make_icosphere(2), make_gradient_envmap(64, 128), cluster_size=1024)
+    assert one_cluster.cluster_bounds.shape[0] == 1
+    ref = _xla_image(one_cluster, cfg)
+    fused = render_frame_fused(
+        one_cluster, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(ref, fused) < 1e-5
+    # Same mesh at C=10 (the multi-word path) must produce the same
+    # image up to tie-break noise — here exactly, as the meshes coincide.
+    multi = render_frame_fused(
+        sphere_scene, orbit_camera(0.3, cfg), cfg, interpret=True)
+    assert _rmse(np.asarray(fused), np.asarray(multi)) < 1e-6
+
+
 def test_env_dyn_word_window_parity(sphere_scene, monkeypatch):
     """Large-envmap fallback (envmap_pallas._STATIC_ENV_WORDS): when the
     static word count would span too much of the table, the accumulate

@@ -231,7 +231,7 @@ def test_strided_tile_grid_matches_single_compiled(sphere_scene):
 
 
 @pytest.mark.parametrize("name", ["monkey_384x256", "shell_384x256",
-                                  "ott_384x256"])
+                                  "ott_384x256", "monkey_384x256_spp4"])
 def test_midres_committed_golden(reference_dir, name):
     """Each production scene at 384x256 (12x8 = 96 tiles) through the
     compiled fused kernel vs a committed oracle artifact
@@ -275,7 +275,12 @@ def test_midres_committed_golden(reference_dir, name):
         # channel diff, everything else < 1e-3); a real regression
         # (tile indexing, env window, streaming) moves whole regions,
         # not single pixels.
-        MAX_FLIPS = 8
+        # spp>1 goldens: each of the spp samples carries its own
+        # independent tie-break class (and its flip magnitude is
+        # attenuated ~1/spp by the average) — budget scales with spp.
+        # Measured: the spp=4 monkey golden has 7 flip pixels vs the
+        # interpret render, max channel diff 0.0027.
+        MAX_FLIPS = 8 * spec.get("spp", 1)
         d = np.abs(img - ref).max(axis=2)
         flips = d > 1e-3
         assert int(flips.sum()) <= MAX_FLIPS, (
@@ -291,6 +296,39 @@ def test_midres_committed_golden(reference_dir, name):
     if name == "ott_384x256":
         check(np.asarray(
             render_frame_fused(scene, frame, cfg, streamed=True)))
+
+
+def test_accumulator_roundtrip_on_device(sphere_scene, tmp_path):
+    """Checkpoint/resume of a progressive accumulation (render.
+    Accumulator, the --accumulate/--resume CLI path) THROUGH the
+    compiled production renderer on the real chip (VERDICT r4 item 4):
+    accumulate 2 frames, save, load, add a third — must equal the
+    uninterrupted 3-frame accumulation exactly (float64 sums of
+    identical device renders)."""
+    from refraction_tpu.render import Accumulator, make_renderer
+
+    cfg = _cfg(max_refract_depth=3, max_reflect_depth=1)
+    render = make_renderer(cfg)
+    frames = [np.asarray(render(sphere_scene, orbit_camera(0.3 + 0.01 * k,
+                                                           cfg)))
+              for k in range(3)]
+    assert all(np.isfinite(f).all() for f in frames)
+
+    full = Accumulator(cfg.height, cfg.width)
+    for f in frames:
+        full.add(f)
+
+    part = Accumulator(cfg.height, cfg.width)
+    part.add(frames[0])
+    part.add(frames[1])
+    ckpt = str(tmp_path / "acc.npz")
+    part.save(ckpt)
+    resumed = Accumulator.load(ckpt)
+    assert resumed.count == 2
+    resumed.add(frames[2])
+
+    assert resumed.count == full.count == 3
+    np.testing.assert_array_equal(resumed.image, full.image)
 
 
 def test_median_ordering_matches_oracle(monkeypatch):

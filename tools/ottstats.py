@@ -179,7 +179,7 @@ def cluster_hit_t(o, d, cull, tri_a, tri_e1, tri_e2, cs, tmin, tmax):
 
 
 def kern_visits(o, d, cull, alive, t_lc, cb, sb, spc, tmin, tmax, order,
-                seed_cl=None):
+                seed_cl=None, word_stats=None):
     """Emulate the KERNEL's cap evolution: clusters visited in ``order``
     (the per-frame f2b table permutation) with word-granular (32) gate
     bits computed from the caps at word start; each visited cluster's
@@ -187,7 +187,15 @@ def kern_visits(o, d, cull, alive, t_lc, cb, sb, spc, tmin, tmax, order,
     after each visited cluster by its ground-truth per-lane hit t.
     Returns (cluster_visits, sub_visits). ``seed_cl`` (per-lane parent
     cluster ids, -1 = none) prepends a seed phase visiting the union of
-    parent clusters to tighten caps before the scan."""
+    parent clusters to tighten caps before the scan.
+
+    ``word_stats`` (a 3-slot int array) accumulates, per visited
+    cluster, hypothetical WORD-BOX pre-gate counters for the sub scan:
+    [0] += sub words total, [1] += words whose 32-sub UNION box gates on
+    (the words whose 32 slab tests a pre-gate would still run), [2] +=
+    words with >=1 actual sub gate bit (the lower bound any conservative
+    pre-gate can reach). Degenerate far-point pad boxes (lo == hi ==
+    +BIG, scene.py cluster padding) are excluded from unions."""
     if not alive.any():
         return 0, 0
     oo, dd, cc = o[alive], d[alive], cull[alive]
@@ -197,8 +205,20 @@ def kern_visits(o, d, cull, alive, t_lc, cb, sb, spc, tmin, tmax, order,
 
     def sub_visits_of(ci, caps):
         s = sb[ci * spc:(ci + 1) * spc]
-        return int(slab_overlap(oo, dd, s[:, :3], s[:, 3:], tmin, caps)
-                   .any(axis=0).sum())
+        ov = slab_overlap(oo, dd, s[:, :3], s[:, 3:], tmin, caps).any(axis=0)
+        if word_stats is not None and spc % 32 == 0:
+            for w0 in range(0, spc, 32):
+                sw = s[w0:w0 + 32]
+                real = sw[:, 0] < 1e29  # exclude degenerate far-point pads
+                word_stats[0] += 1
+                if real.any():
+                    lo = sw[real, :3].min(axis=0)[None]
+                    hi = sw[real, 3:].max(axis=0)[None]
+                    if bool(slab_overlap(oo, dd, lo, hi, tmin, caps)
+                            .any()):
+                        word_stats[1] += 1
+                word_stats[2] += int(ov[w0:w0 + 32].any())
+        return int(ov.sum())
 
     if seed_cl is not None:
         for ci in np.unique(seed_cl[alive]):
@@ -271,7 +291,7 @@ def main():
            for k in ("live", "rows", "slots", "v_tile", "v_rowpk", "v_octpk",
                      "tiles_live", "c_vis", "v_sub4", "v_sub16", "v_nocap",
                      "v_kern", "c_kern", "v_seed", "c_seed",
-                     "v_seqw", "v_f2bs")}
+                     "v_seqw", "v_f2bs", "w_tot", "w_on", "w_bits")}
     # Per-frame front-to-back cluster order (framekernel.front_to_back_
     # scene): ascending center distance from the camera origin.
     centers = 0.5 * (cb[:, :3] + cb[:, 3:])
@@ -365,10 +385,14 @@ def main():
                 ones = np.ones(int(alive.sum()), bool)
                 tlc = cluster_hit_t(oo, dd_, cc, tri_a, tri_e1, tri_e2,
                                     cs, tmin, tmax)
+                ws = np.zeros(3, np.int64)
                 ck, vk = kern_visits(oo, dd_, cc, ones, tlc, cb, sb, spc,
-                                     tmin, tmax, f2b)
+                                     tmin, tmax, f2b, word_stats=ws)
                 tot["c_kern"][count] += ck
                 tot["v_kern"][count] += vk
+                tot["w_tot"][count] += int(ws[0])
+                tot["w_on"][count] += int(ws[1])
+                tot["w_bits"][count] += int(ws[2])
                 cs_, vs_ = kern_visits(oo, dd_, cc, ones, tlc, cb, sb,
                                        spc, tmin, tmax, f2b,
                                        seed_cl=ppar[seg][alive])
@@ -490,6 +514,18 @@ def main():
     print(f"tri tests: sub8={8 * int(tot['v_tile'].sum())} "
           f"sub4={4 * int(tot['v_sub4'].sum())} "
           f"sub16={16 * int(tot['v_sub16'].sum())}")
+    # Word-box pre-gate EV (v_kern schedule): a word whose 32-sub union
+    # box gates OFF could skip its whole 32-slab gate plane; w_on/w_tot
+    # is the fraction of planes a pre-gate still runs, w_bits/w_tot the
+    # floor any conservative pre-gate can reach.
+    wt, won, wb = (int(tot[k].sum()) for k in ("w_tot", "w_on", "w_bits"))
+    if wt:
+        print(f"word pregate: words={wt} box_on={won} ({won / wt:.2f}) "
+              f"anybit={wb} ({wb / wt:.2f})")
+        per = " ".join(
+            f"{c}:{tot['w_on'][c]}/{tot['w_tot'][c]}"
+            for c in range(bounces + 1) if tot['w_tot'][c])
+        print(f"word pregate per round (on/tot): {per}")
 
 
 if __name__ == "__main__":
