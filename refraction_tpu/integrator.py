@@ -91,6 +91,7 @@ def render_pixels(
     intersect_fn: IntersectFn,
     env_fn: Callable | None = None,
     collect_stats: bool = False,
+    ray_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Trace N primary rays to completion; returns (N, 3) linear radiance.
 
@@ -104,6 +105,13 @@ def render_pixels(
     ray-tree size (every pool width is N*2^k and lane i belongs to pixel
     i % N, so the per-pixel count is a reshape-sum — the bounce-heatmap
     source, SURVEY §5 metrics row).
+
+    ``ray_mask`` ((N,) int32): per-ray DXR InstanceInclusionMask
+    (TraceRay's mask parameter, RayTracing.hlsl:60 — the reference
+    passes 0xff on every call). Children inherit their parent ray's
+    mask, matching the shader's recursion (every recursive TraceRay
+    re-passes 0xff). Requires a mask-capable ``intersect_fn``
+    (xla_intersect); the Pallas backends serve the constant-0xff case.
     """
     if env_fn is None:
         from refraction_tpu.ops.backends import xla_env_contribution
@@ -118,6 +126,8 @@ def render_pixels(
     weight = jnp.ones((n,), f32)
     outside = jnp.ones((n,), bool)
     alive = jnp.ones((n,), bool)
+    mask_pool = (None if ray_mask is None
+                 else jnp.asarray(ray_mask, jnp.int32))
     radiance = jnp.zeros((n, 3), f32)
     rays_traced = jnp.zeros((), jnp.int32)
     pixel_rays = jnp.zeros((n,), jnp.int32)
@@ -132,7 +142,11 @@ def render_pixels(
         tmin = f32(cfg.primary_tmin if count == 0 else cfg.secondary_tmin)
         tmax = f32(cfg.primary_tmax if count == 0 else cfg.secondary_tmax)
 
-        res = intersect_fn(scene, o, d, outside, alive, tmin, tmax)
+        if ray_mask is None:
+            res = intersect_fn(scene, o, d, outside, alive, tmin, tmax)
+        else:
+            res = intersect_fn(scene, o, d, outside, alive, tmin, tmax,
+                               ray_mask=mask_pool)
         hit, t, tri_idx = res[0], res[1], res[2]
         knorm = res[3] if len(res) > 3 else None
         hit = hit & alive
@@ -168,6 +182,11 @@ def render_pixels(
             weight = jnp.concatenate([new_weight, refl_weight])
             outside = jnp.concatenate([new_outside, outside])
             alive = jnp.concatenate([refr_alive, hit])
+            if mask_pool is not None:
+                # Both children inherit the parent's inclusion mask
+                # (the shader re-passes 0xff on every recursive
+                # TraceRay — RayTracing.hlsl:106,121).
+                mask_pool = jnp.concatenate([mask_pool, mask_pool])
         else:
             o, d = safe_o, new_d
             weight, outside, alive = new_weight, new_outside, refr_alive

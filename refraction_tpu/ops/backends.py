@@ -38,9 +38,15 @@ def xla_intersect(
     tmin,
     tmax,
     chunk: int = 8192,
+    ray_mask=None,
 ):
     """Brute-force closest hit, ray-tiled. alive is accepted but unused
-    (dense evaluation; masking happens in the integrator)."""
+    (dense evaluation; masking happens in the integrator).
+
+    ``ray_mask`` ((N,) int32): DXR's per-TraceRay InstanceInclusionMask
+    (RayTracing.hlsl:60) — a triangle is testable by a ray iff
+    ``scene.tri_mask & ray_mask != 0``. None (the reference's constant
+    0xff against all-visible instances) skips the test entirely."""
     del alive
     n = origins.shape[0]
     c = min(chunk, n)
@@ -49,14 +55,22 @@ def xla_intersect(
     o = _pad_to(origins, n_pad).reshape(-1, c, 3)
     d = _pad_to(dirs, n_pad, fill=1).reshape(-1, c, 3)
     wf = _pad_to(want_front, n_pad).reshape(-1, c)
+    if ray_mask is not None:
+        rm = _pad_to(jnp.asarray(ray_mask, jnp.int32), n_pad).reshape(-1, c)
+        args = (o, d, wf, rm)
+    else:
+        args = (o, d, wf)
 
     def body(args):
-        oo, dd, ww = args
+        oo, dd, ww = args[0], args[1], args[2]
         return intersect_closest(
-            oo, dd, scene.tri_a, scene.tri_e1, scene.tri_e2, tmin, tmax, ww, jnp
+            oo, dd, scene.tri_a, scene.tri_e1, scene.tri_e2, tmin, tmax, ww,
+            jnp,
+            tri_mask=scene.tri_mask if ray_mask is not None else None,
+            ray_mask=args[3] if ray_mask is not None else None,
         )
 
-    hit, t, idx = jax.lax.map(body, (o, d, wf))
+    hit, t, idx = jax.lax.map(body, args)
     return (
         hit.reshape(-1)[:n],
         t.reshape(-1)[:n],

@@ -73,7 +73,7 @@ def intersect_brute(origins, dirs, tri_a, tri_e1, tri_e2, tmin, tmax,
 
 
 def intersect_closest(origins, dirs, tri_a, tri_e1, tri_e2, tmin, tmax,
-                      want_front, xp):
+                      want_front, xp, tri_mask=None, ray_mask=None):
     """Closest hit returning only (hit, t, tri_idx).
 
     Same math and acceptance rules as `intersect_brute`, but the only
@@ -81,6 +81,12 @@ def intersect_closest(origins, dirs, tri_a, tri_e1, tri_e2, tmin, tmax,
     lets the whole Möller–Trumbore chain fuse into the reduction without
     materializing (N, T) attribute buffers. Barycentrics for the winning
     triangle are recomputed afterwards by `recompute_uv` (a per-ray gather).
+
+    ``tri_mask`` ((T,) int) + ``ray_mask`` ((N,) int): DXR instance
+    visibility — triangle j is testable by ray i iff
+    ``tri_mask[j] & ray_mask[i] != 0`` (TraceRay's
+    InstanceInclusionMask AND the instance's InstanceMask,
+    RayTracing.hlsl:60). None/None skips the test.
     """
     f32 = xp.float32
     big = f32(3.0e38)
@@ -89,6 +95,9 @@ def intersect_closest(origins, dirs, tri_a, tri_e1, tri_e2, tmin, tmax,
     pvec = _cross(d, tri_e2[None], xp)
     det = xp.sum(tri_e1[None] * pvec, axis=-1)
     accept = xp.where(want_front[:, None], det > 0, det < 0)
+    if tri_mask is not None and ray_mask is not None:
+        accept = accept & (
+            (tri_mask[None, :] & ray_mask[:, None]) != 0)
 
     safe_det = xp.where(det == 0, f32(1.0), det)
     inv_det = f32(1.0) / safe_det

@@ -73,6 +73,15 @@ class Scene(NamedTuple):
                              # 0-1/2-3/4-5 = r/g/b channel of triple c at
                              # row c//128, lane c%128; LUT = the 256-entry
                              # shared value table
+    tri_mask: np.ndarray = None  # (T,) int32 per-triangle instance mask
+                             # (DXR InstanceMask baked per tri; pad tris
+                             # 0). Table (Morton/median) order — matches
+                             # tri_a/e1/e2, NOT the f2b-permuted kernel
+                             # tables: per-ray masks are a wavefront/XLA
+                             # -path capability (xla_intersect ray_mask);
+                             # the fused kernel serves the reference's
+                             # constant-0xff ray mask
+                             # (RayTracing.hlsl:60,106,121).
 
     @property
     def num_tris(self) -> int:
@@ -116,9 +125,15 @@ def build_scene(
     mesh: MeshData,
     envmap: np.ndarray,
     cluster_size: int = 32,
+    tri_mask: np.ndarray | None = None,
 ) -> tuple[Scene, SceneMeta]:
     """Spatially sort (RRT_CURVE), pad, and precompute intersection
-    inputs."""
+    inputs.
+
+    ``tri_mask`` (num_tris,) int: per-triangle DXR InstanceMask bytes
+    (build_instanced_scene bakes per-instance masks here; default all
+    1, the reference's instance mask). Carried in table order for the
+    wavefront path's per-ray mask test; pad triangles get mask 0."""
     assert cluster_size % SUB_TRIS == 0 and cluster_size >= SUB_TRIS, (
         f"cluster_size={cluster_size} must be a multiple of "
         f"SUB_TRIS={SUB_TRIS} (kernel gating/record layouts divide by it)")
@@ -145,6 +160,9 @@ def build_scene(
         raise ValueError(f"RRT_CURVE={curve!r}: use median|hilbert|morton")
     pos = mesh.positions[order]
     norm = mesh.normals[order]
+    if tri_mask is None:
+        tri_mask = np.ones(t_real, np.int32)
+    mask = np.asarray(tri_mask, np.int32)[order]
 
     t_pad = max(_round_up(max(t_real, 1), cluster_size), cluster_size)
     if t_pad > t_real:
@@ -161,6 +179,7 @@ def build_scene(
         ).copy()
         pos = np.concatenate([pos, pad_pos])
         norm = np.concatenate([norm, pad_norm])
+        mask = np.concatenate([mask, np.zeros(t_pad - t_real, np.int32)])
 
     # Optional front-to-back cluster ordering (RRT_ORDER_FROM="x,y,z"):
     # permute whole cluster blocks by AABB-center distance from a point
@@ -181,6 +200,7 @@ def build_scene(
         blocks = perm[:, None] * cluster_size + np.arange(cluster_size)
         pos = pos[blocks.reshape(-1)]
         norm = norm[blocks.reshape(-1)]
+        mask = mask[blocks.reshape(-1)]
 
     lo, hi = build_clusters(pos, cluster_size)
     sub_lo, sub_hi = build_clusters(pos, SUB_TRIS)
@@ -325,6 +345,7 @@ def build_scene(
         tri_norm_vmem=tri_norm_vmem,
         env_codes=env_codes,
         env_lut=env_lut,
+        tri_mask=np.ascontiguousarray(mask),
     )
     meta = SceneMeta(
         num_real_tris=t_real,
@@ -380,11 +401,15 @@ class Instance:
     array, so an instance edit is one rebuild + host->device transfer,
     just as the reference re-records its TLAS build.
 
-    ``mask`` honors DXR visibility semantics under the reference's ray
-    mask: every TraceRay passes 0xff (RayTracing.hlsl:60,106,121), so an
-    instance is visible iff ``mask & 0xff != 0`` — mask-0 instances are
-    dropped at build. Per-ray masks would need a per-cluster mask word
-    in the kernels; no reference behavior requires it.
+    ``mask`` honors full DXR visibility semantics: an instance is
+    visible to a ray iff ``mask & InstanceInclusionMask != 0``
+    (RayTracing.hlsl:60,106,121 — the reference passes 0xff on every
+    TraceRay). Masks are baked per triangle (scene.tri_mask); PER-RAY
+    inclusion masks are served by the wavefront path
+    (integrator.render_pixels(ray_mask=...) / xla_intersect), while the
+    production fused kernel serves the reference's constant-0xff mask —
+    mask-0 instances (invisible under EVERY inclusion mask) are dropped
+    at build either way.
     """
 
     mesh: MeshData
@@ -439,8 +464,12 @@ def build_instanced_scene(
         for i in visible
     ]
     merged = merge_meshes(baked)
+    tri_mask = np.concatenate([
+        np.full(i.mesh.num_tris, np.int32(i.mask & 0xFF))
+        for i in visible
+    ]).astype(np.int32)
     cs = cluster_size or auto_cluster_size(merged.num_tris)
-    return build_scene(merged, envmap, cs)
+    return build_scene(merged, envmap, cs, tri_mask=tri_mask)
 
 
 def instance_transform(translate=(0.0, 0.0, 0.0), scale=1.0,

@@ -91,6 +91,73 @@ def test_mask_zero_instance_invisible():
         build_instanced_scene([Instance(mesh, mask=0)], env, cluster_size=8)
 
 
+def test_per_ray_inclusion_mask():
+    """TraceRay's InstanceInclusionMask as a PER-RAY capability (the
+    full DXR semantic, RayTracing.hlsl:60 — the reference only ever
+    passes 0xff): instance visible to a ray iff
+    ``InstanceMask & InstanceInclusionMask != 0``; children inherit
+    their parent's mask (the shader re-passes 0xff on every recursive
+    TraceRay, :106,121). Ground truth by scene surgery: rays whose mask
+    excludes instance B must render exactly as if B was never built."""
+    import jax.numpy as jnp
+
+    from refraction_tpu.camera import generate_rays
+    from refraction_tpu.integrator import render_pixels
+    from refraction_tpu.ops.backends import (
+        xla_env_contribution, xla_intersect)
+
+    mesh = make_cube(1.0)
+    env = make_gradient_envmap()
+    tA = instance_transform(translate=(-1.2, 0.0, 0.0))
+    tB = instance_transform(translate=(1.2, 0.0, 0.0), rotate_y_deg=30.0)
+    both, _ = build_instanced_scene(
+        [Instance(mesh, tA, mask=1), Instance(mesh, tB, mask=2)], env,
+        cluster_size=8)
+    only_a, _ = build_instanced_scene([Instance(mesh, tA, mask=1)], env,
+                                      cluster_size=8)
+    only_b, _ = build_instanced_scene([Instance(mesh, tB, mask=2)], env,
+                                      cluster_size=8)
+    cfg = RenderConfig(width=64, height=48, backend="xla",
+                       max_refract_depth=3)
+    frame = orbit_camera(0.4, cfg)
+    o, d = generate_rays(frame, cfg.width, cfg.height, xp=np)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    n = o.shape[0]
+
+    def rp(scene, mask):
+        if mask is not None and np.ndim(mask) == 0:
+            mask = np.full((n,), mask, np.int32)
+        return np.asarray(render_pixels(
+            scene, o, d, cfg, xla_intersect, xla_env_contribution,
+            ray_mask=None if mask is None else jnp.asarray(mask)))
+
+    full = rp(both, None)
+    # 0xff (the reference's constant) admits every instance — identical
+    # winners, identical float math, bit-identical image.
+    np.testing.assert_array_equal(rp(both, 0xFF), full)
+    # Masking out B == B never existed (same per-(ray, tri) math, same
+    # unique winners; only the triangle table order differs).
+    np.testing.assert_allclose(rp(both, 1), rp(only_a, None),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(rp(both, 2), rp(only_b, None),
+                               atol=1e-6, rtol=0)
+    # A mask matching no instance: the pure envmap image (all rays miss
+    # at the primary round with weight 1).
+    env_img = np.asarray(xla_env_contribution(
+        both, d, jnp.ones((n,), jnp.float32)))
+    np.testing.assert_allclose(rp(both, 4), env_img, atol=1e-6, rtol=0)
+    # Heterogeneous per-ray masks: left half sees A only, right half B
+    # only — each half must match its homogeneous render exactly.
+    per_ray = np.where(np.arange(n) % cfg.width < cfg.width // 2,
+                       1, 2).astype(np.int32)
+    mixed = rp(both, per_ray).reshape(cfg.height, cfg.width, 3)
+    a_img = rp(both, 1).reshape(cfg.height, cfg.width, 3)
+    b_img = rp(both, 2).reshape(cfg.height, cfg.width, 3)
+    half = cfg.width // 2
+    np.testing.assert_array_equal(mixed[:, :half], a_img[:, :half])
+    np.testing.assert_array_equal(mixed[:, half:], b_img[:, half:])
+
+
 def test_singular_transform_rejected():
     m = np.zeros((3, 4), np.float32)
     with pytest.raises(ValueError, match="singular"):
