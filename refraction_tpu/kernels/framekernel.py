@@ -77,6 +77,18 @@ _SLOT_BATCH = os.environ.get("RRT_SLOT_BATCH", "0") != "0"
 # exclusive with RRT_SLOT_BATCH.
 _SPP_BATCH = os.environ.get("RRT_SPP_BATCH", "1") != "0"
 
+# Candidate geometry via a (T*9, 128) per-float broadcast VMEM table
+# (RRT_TRI_VMEM): one aligned (SUB_TRIS*9, 128) vector load per sub
+# visit replaces SUB_TRIS*9 scalar SMEM loads per visit — moves the
+# candidate-data traffic off the scalar port. Only engages for resident
+# scenes whose table fits RRT_TRI_VMEM_BUDGET bytes of VMEM (the table
+# is 512 bytes/float: monkey's 1024-tri tier is 4.7 MB; ott's 13k-tri
+# tier at 61 MB is far past it). The table is derived per frame from
+# the (already f2b-permuted) tri_packed, so winner ids are unchanged.
+_TRI_VMEM = os.environ.get("RRT_TRI_VMEM", "0") != "0"
+_TRI_VMEM_BUDGET = int(os.environ.get("RRT_TRI_VMEM_BUDGET",
+                                      str(6 * 2 ** 20)))
+
 from refraction_tpu.utils.tileshape import tile_shape
 
 TILE_H, TILE_W = tile_shape()
@@ -101,7 +113,8 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
                   width: int, height: int, tiles_x: int, group: int,
                   spp: int, max_refract: int, max_reflect: int,
                   n_slots: int, stream=None, n_supers: int = 0,
-                  tile_stride: int = 1, n_tiles_real: int = 0):
+                  tile_stride: int = 1, n_tiles_real: int = 0,
+                  tri_bc=None):
     # Under the hier (third bound level) layout, cluster_sm holds
     # [supers | padded clusters]; derive the true count from the shape.
     if n_supers > 1:
@@ -388,7 +401,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
             o_x, o_y, o_z, d_x, d_y, d_z, cu,
             best_t, best_i, best_nx, best_ny, best_nz,
             any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
-            num_supers=n_supers)
+            num_supers=n_supers, tri_bcast=tri_bc)
 
         t = best_t[0:SR, :]
         hit = (t < tmax) & alive
@@ -546,7 +559,7 @@ def _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm, env_ref,
             o_x, o_y, o_z, d_x, d_y, d_z, cu,
             best_t, best_i, best_nx, best_ny, best_nz,
             any_hit=is_last, stream=stream, norm_vmem=norm_vmem,
-            num_supers=n_supers)
+            num_supers=n_supers, tri_bcast=tri_bc)
 
         t = best_t[0:R, :]
         hit = (t < tmax) & alive
@@ -652,6 +665,22 @@ def _frame_kernel_coded(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm,
     operand is the (codes, lut) pair instead of the 3-plane f32 map."""
     _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm,
                   (env_codes, env_lut), *rest, **kw)
+
+
+def _frame_kernel_bcast(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm,
+                        tri_bc, env_ref, *rest, **kw):
+    """RRT_TRI_VMEM arity adapter: the broadcast geometry table rides
+    between the SMEM tables and the env operand(s)."""
+    _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm,
+                  env_ref, *rest, tri_bc=tri_bc, **kw)
+
+
+def _frame_kernel_bcast_coded(scalars_sm, tri_sm, norm_vmem, cluster_sm,
+                              subs_sm, tri_bc, env_codes, env_lut, *rest,
+                              **kw):
+    """RRT_TRI_VMEM + code-packed envmap."""
+    _frame_kernel(scalars_sm, tri_sm, norm_vmem, cluster_sm, subs_sm,
+                  (env_codes, env_lut), *rest, tri_bc=tri_bc, **kw)
 
 
 def _frame_kernel_streamed(scalars_sm, records, cluster_sm, norm_vmem,
@@ -855,18 +884,36 @@ def frame_call(tri_packed, tri_norm_vmem, cluster_bounds, sub_bounds,
             pltpu.SemaphoreType.DMA((N_STREAM_SLOTS,)),
         ]
     else:
-        kern = functools.partial(
-            _frame_kernel_coded if coded else _frame_kernel, **static_kw)
+        t_pad = tri_packed.shape[0]
+        use_bc = (_TRI_VMEM
+                  and t_pad * 9 * _LANE * 4 <= _TRI_VMEM_BUDGET)
+        if use_bc:
+            kern = functools.partial(
+                _frame_kernel_bcast_coded if coded else _frame_kernel_bcast,
+                **static_kw)
+        else:
+            kern = functools.partial(
+                _frame_kernel_coded if coded else _frame_kernel, **static_kw)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),   # scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tris flat
             vmem,                                    # normal table (9Rn,128)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # clusters flat
             pl.BlockSpec(memory_space=pltpu.SMEM),   # subclusters flat
-        ] + env_specs
+        ]
         operands = (scalars, tri_packed.reshape(-1),
                     tri_norm_vmem, cb_flat,
-                    sub_bounds.reshape(-1)) + env_ops
+                    sub_bounds.reshape(-1))
+        if use_bc:
+            # Per-float broadcast table from the (f2b-permuted) packed
+            # tris — lane-replicated so a sub visit loads its 8 tris'
+            # geometry as one aligned (SUB_TRIS*9, 128) vector read.
+            tri_bcast = jnp.broadcast_to(
+                tri_packed.reshape(-1, 1), (t_pad * 9, _LANE))
+            in_specs = in_specs + [vmem]
+            operands = operands + (tri_bcast,)
+        in_specs = in_specs + env_specs
+        operands = operands + env_ops
     return pl.pallas_call(
         kern,
         grid=(grid,),

@@ -376,7 +376,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                   o_x, o_y, o_z, d_x, d_y, d_z, cu,
                   best_t, best_i, best_nx, best_ny, best_nz,
                   any_hit: bool = False, stream=None, norm_vmem=None,
-                  num_supers: int = 0):
+                  num_supers: int = 0, tri_bcast=None):
     """Closest-hit traversal of one (8,128) ray tile; results land in the
     best_* scratch refs. Shared by the standalone closest-hit kernel and
     the fused wavefront megakernels.
@@ -451,6 +451,11 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
     # no denominator at all — the retire mark stays a real value). The
     # inline-normal path keeps the divided form.
     rational = _RATIONAL and (defer_norms or any_hit)
+    if tri_bcast is not None:
+        # The bcast path never loads candidate normals (rows carry only
+        # the 9 geometry floats) — production modes only.
+        assert defer_norms or any_hit, "tri_bcast requires deferred normals"
+        assert stream is None, "tri_bcast is a resident-geometry path"
 
     best_t[rr] = jnp.broadcast_to(tmax, (R, _LANE))
     if not any_hit:
@@ -787,7 +792,7 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
 
             jax.lax.fori_loop(0, _GROUP_BITS, body, 0)
 
-    def tri_body(ti, tref, tb, nref, nb, best, dup_mode=None):
+    def tri_body(ti, tref, tb, nref, nb, best, dup_mode=None, rows=None):
         """One Möller–Trumbore test against the whole tile; ``best`` is the
         register-carried (t, i, nx, ny, nz) winner state (t only in
         any-hit mode) — values, not scratch refs, so the 8-triangle
@@ -823,15 +828,25 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             assert dup_mode == "honest"
             tb = tb + izoff
             nb = nb + izoff
-        a0 = tref[tb + 0]
-        a1 = tref[tb + 1]
-        a2 = tref[tb + 2]
-        e10 = tref[tb + 3]
-        e11 = tref[tb + 4]
-        e12 = tref[tb + 5]
-        e20 = tref[tb + 6]
-        e21 = tref[tb + 7]
-        e22 = tref[tb + 8]
+        if rows is not None:
+            # RRT_TRI_VMEM: the 9 geometry floats arrive as (1, 128)
+            # broadcast rows preloaded from the VMEM table (one aligned
+            # (SUB_TRIS*9, 128) vector load per sub visit) instead of 9
+            # scalar SMEM loads per candidate — moves the candidate-data
+            # traffic from the scalar port to the vector port. The math
+            # below broadcasts (1,128) against the (R,128) ray planes;
+            # values and acceptance are bit-identical.
+            a0, a1, a2, e10, e11, e12, e20, e21, e22 = rows
+        else:
+            a0 = tref[tb + 0]
+            a1 = tref[tb + 1]
+            a2 = tref[tb + 2]
+            e10 = tref[tb + 3]
+            e11 = tref[tb + 4]
+            e12 = tref[tb + 5]
+            e20 = tref[tb + 6]
+            e21 = tref[tb + 7]
+            e22 = tref[tb + 8]
 
         # pvec = cross(D, e2)
         px = d_y * e22 - d_z * e21
@@ -976,6 +991,15 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
         traffic — but the register carry never loses and makes the
         state movement explicit."""
 
+        # RRT_TRI_VMEM fast path: candidate geometry from the (T*9, 128)
+        # per-float broadcast VMEM table — one aligned (SUB_TRIS*9, 128)
+        # vector load per sub visit instead of SUB_TRIS*9 scalar SMEM
+        # loads. Instrument/ablation modes keep the SMEM path (their
+        # opaque-zero address poisoning is defined on scalar loads).
+        use_bc = (tri_bcast is not None
+                  and not any(m in _ABLATE
+                              for m in ("tri1", "tri2x", "tri2xh", "ld2x")))
+
         def visit_sub(sl, best):
             # "tri1" ablation: ONE MT test per visit instead of SUB_TRIS —
             # wrong image AND wrong workload (fewer hits -> emptier later
@@ -985,6 +1009,16 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             # candidate the first pass accepted), so the image is
             # bit-identical and the time delta IS the per-visit MT
             # vector+load cost.
+            if use_bc:
+                base_row = (ci * cluster_size + sl * SUB_TRIS) * 9
+                blk = tri_bcast[pl.ds(base_row, SUB_TRIS * 9), :]
+                for k in range(SUB_TRIS):
+                    best = tri_body(
+                        ci * cluster_size + sl * SUB_TRIS + k,
+                        None, 0, nref, 0, best,
+                        rows=[blk[k * 9 + j:k * 9 + j + 1, :]
+                              for j in range(9)])
+                return best
             n_tris = 1 if "tri1" in _ABLATE else SUB_TRIS
             dup_pass = ("tri2x" if "tri2x" in _ABLATE else
                         "tri2xh" if "tri2xh" in _ABLATE else

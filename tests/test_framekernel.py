@@ -390,6 +390,34 @@ def test_single_cluster_fast_path(sphere_scene):
     assert _rmse(np.asarray(fused), np.asarray(multi)) < 1e-6
 
 
+def test_tri_vmem_parity(monkeypatch):
+    """RRT_TRI_VMEM (candidate geometry via the per-float broadcast VMEM
+    table — off-default, measured neutral on device): same acceptance
+    rules and winner selection, but the (1,128)-row broadcast operands
+    let the compiler contract muls differently than scalar-broadcast
+    SMEM loads, so agreement is ulp-class (measured 1.5e-7 max), not
+    bit-exact — the RATIONAL-style tolerance contract."""
+    import refraction_tpu.kernels.framekernel as fk
+
+    scene, _ = build_scene(
+        make_icosphere(2, radius=1.2), make_gradient_envmap(64, 128),
+        cluster_size=1024)
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       backend="xla")
+    frame = orbit_camera(0.3, cfg)
+    fk.frame_call.clear_cache()
+    base = np.asarray(render_frame_fused(scene, frame, cfg, interpret=True))
+    monkeypatch.setattr(fk, "_TRI_VMEM", True)
+    fk.frame_call.clear_cache()
+    try:
+        bc = np.asarray(render_frame_fused(scene, frame, cfg,
+                                           interpret=True))
+    finally:
+        monkeypatch.undo()
+        fk.frame_call.clear_cache()
+    np.testing.assert_allclose(base, bc, atol=1e-5, rtol=0)
+
+
 def test_env_dyn_word_window_parity(sphere_scene, monkeypatch):
     """Large-envmap fallback (envmap_pallas._STATIC_ENV_WORDS): when the
     static word count would span too much of the table, the accumulate
