@@ -72,6 +72,16 @@ assert _ENV_SUB in (4, 8), f"RRT_ENV_SUB={_ENV_SUB} must be 4 or 8"
 # n_words unconditional planes. 8 (=2048 rows at _ENV_SUB=8) keeps every
 # shipped asset on the measured-fast static path.
 _STATIC_ENV_WORDS = int(os.environ.get("RRT_ENV_STATIC_WORDS", "8"))
+# Any-miss pre-gate of the accumulate scan — DEFAULT OFF since round 5
+# (RRT_ENV_GATE=1 restores it): the gate predates the static-word scan,
+# whose empty gate words already self-gate an all-hit block, so the
+# pre-gate only ADDS a roll-max extract + branch region (~1 us) to
+# every missing slot-round. Removing it measured (device medians):
+# monkey 11.08 -> 10.74, shell ref-demo 11.2 -> 10.81, ott
+# 30.8 -> 30.48, ott spp4 116.1 -> 115.8, monkey spp4 29.28 -> 29.03 —
+# wins everywhere, bit-identical output (the ungated body adds exact
+# zeros on all-dead blocks).
+_ENV_GATE = os.environ.get("RRT_ENV_GATE", "0") != "0"
 
 
 def _sublane_steps(rows: int):
@@ -366,6 +376,17 @@ def env_window_accumulate(x, y, z, wgt, env_ref,
     to find an empty window — now it pays one ~20-op reduction."""
     coded = isinstance(env_ref, tuple)
     rows = x.shape[0]
+    if not _ENV_GATE:
+        # Default: no any-miss pre-gate (see _ENV_GATE). The static-word
+        # body self-gates — an all-hit block yields all-zero gate words,
+        # so the visit loop never fires and the (coded-path) accumulate
+        # adds exact zeros; the pre-gate's saved index math + word
+        # planes (~100 vector ops) cost less than its own roll-max
+        # extract + branch region.
+        _env_accumulate_body(x, y, z, wgt, env_ref, height, width,
+                             rows_per_chan, acc_r, acc_g, acc_b, coded,
+                             rows)
+        return
     any_alive = _roll_max(wgt) > 0.0
 
     @pl.when(any_alive)

@@ -390,6 +390,32 @@ def test_single_cluster_fast_path(sphere_scene):
     assert _rmse(np.asarray(fused), np.asarray(multi)) < 1e-6
 
 
+def test_env_gate_bit_parity(sphere_scene, monkeypatch):
+    """RRT_ENV_GATE (the accumulate scan's any-miss pre-gate, default
+    OFF since round 5): the ungated body self-gates through its empty
+    gate words — an all-hit block runs zero visits and (coded path)
+    accumulates exact zeros — so the image must be bit-identical with
+    the gate on or off."""
+    import refraction_tpu.kernels.envmap_pallas as ep
+    import refraction_tpu.kernels.framekernel as fk
+
+    cfg = RenderConfig(width=96, height=64, max_refract_depth=4,
+                       max_reflect_depth=2, backend="xla")
+    frame = orbit_camera(0.3, cfg)
+    fk.frame_call.clear_cache()
+    off = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                        interpret=True))
+    monkeypatch.setattr(ep, "_ENV_GATE", True)
+    fk.frame_call.clear_cache()
+    try:
+        on = np.asarray(render_frame_fused(sphere_scene, frame, cfg,
+                                           interpret=True))
+    finally:
+        monkeypatch.undo()
+        fk.frame_call.clear_cache()
+    assert np.array_equal(off, on)
+
+
 def test_tri_vmem_parity(monkeypatch):
     """RRT_TRI_VMEM (candidate geometry via the per-float broadcast VMEM
     table — off-default, measured neutral on device): same acceptance
