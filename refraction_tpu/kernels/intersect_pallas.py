@@ -107,6 +107,20 @@ _PAIR = _VISIT_W >= 2
 # iteration (below), not sequential gating.
 _SEQGATE = os.environ.get("RRT_SEQGATE", "0") != "0"
 
+# Single-cluster flat scan (RRT_FLAT1, default on): when the scene is
+# ONE cluster (monkey's auto tier), skip the cluster level entirely —
+# every sub box is CONTAINED in the cluster box, so the sub gate words
+# subsume its test (cluster off => all sub words zero => zero visits)
+# and their OR is a TIGHTER `possible` scalar. Trades the cluster
+# level's plane + roll tree + extract drain + branch region per live
+# round for unconditional sub planes on rounds the cluster box would
+# have rejected — a win exactly when the speculated planes are cheap,
+# i.e. single-row-block (8, 128) traversals: monkey spp1 10.74 -> 10.61
+# device median, but spp4's (32, 128) blocks pay 4x plane vector and
+# LOSE (29.03 -> 32.52), so the path engages only at R == 8 (the
+# sample-batched and slot-batched shapes keep the two-level scan).
+_FLAT1 = os.environ.get("RRT_FLAT1", "1") != "0"
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -531,7 +545,8 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                       # SMEM ring slot per bit, so fixed at 16 there)
 
     def gated_loop(bounds_ref, base, start, count, visit, pre_visit=None,
-                   bits_per_word=32, dup=False, width=1, carry=None):
+                   bits_per_word=32, dup=False, width=1, carry=None,
+                   want_words=False):
         """For i in [start, start+count): visit(i) iff any live lane
         overlaps AABB i, whose bounds live at ``bounds_ref[base + i*6]``.
         ``count`` is static; ``base``/``start`` may be traced.
@@ -720,6 +735,12 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             # its extract, which would re-serialize tree/read/tree/read).
             words = [p[0, 0] for p in planes]
             if carry is not None:
+                # ``want_words`` (the single-cluster flat path): also
+                # return the OR of the gating words — the caller's
+                # ``possible`` scalar.
+                any_w = words[0]
+                for w in words[1:]:
+                    any_w = jnp.bitwise_or(any_w, w)
                 cr = tuple(carry)
                 if _FUSEWORDS and n_groups > 1:
                     # One loop region for ALL words (identical visit
@@ -732,14 +753,15 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
                         def _vf(rel, c):
                             return visit(start + rel, c)
 
-                    return iter_set_bits_fused(
+                    cr = iter_set_bits_fused(
                         words,
                         [g * bits_per_word for g in range(n_groups)],
                         _vf, cr,
                         width=(_FUSE_W if width > 1 else width))
+                    return (cr, any_w) if want_words else cr
                 for g, word in enumerate(words):
                     cr = word_visits(word, g * bits_per_word, cr)
-                return cr
+                return (cr, any_w) if want_words else cr
             any_w = words[0]
             for w in words[1:]:
                 any_w = jnp.bitwise_or(any_w, w)
@@ -1113,7 +1135,21 @@ def traverse_tile(tmin, tmax, num_clusters, cluster_size,
             _real(ci)
             _real(ci)
 
-    if num_supers > 1:
+    flat1 = (_FLAT1 and num_clusters == 1 and num_supers <= 1
+             and stream is None and subs_per_cluster > 1 and not _SEQGATE
+             and R == _SUB)  # single-row blocks only (see the knob note)
+    if flat1:
+        # RRT_FLAT1 (see the knob comment): one-cluster scenes scan the
+        # subcluster words directly as the top level. Visit set is
+        # bit-identical to the two-level path (containment), `possible`
+        # only gets tighter (sub-word OR instead of the cluster bit).
+        vs = visit_subs(jnp.int32(0), tri_sm, 0, norm_sm, 0)
+        out, possible = gated_loop(
+            subs_sm, jnp.int32(0), jnp.int32(0), subs_per_cluster, vs,
+            bits_per_word=_sub_bits, dup=_dup_subs, width=_VISIT_W,
+            carry=read_best(), want_words=True)
+        write_best(out)
+    elif num_supers > 1:
         # Coarse third level: supers of SUPER_CLUSTERS clusters, gated
         # by the same packed-bitmask machinery; a visited super scans
         # its (16-aligned, so streamed DMA ring slots ci % 16 still

@@ -67,6 +67,7 @@ def test_knob_defaults_are_measured_best():
         "  'env_scan': ep._SCAN_ROWS, 'env_sub': ep._ENV_SUB,\n"
         "  'env_static_words': ep._STATIC_ENV_WORDS,\n"
         "  'env_gate': ep._ENV_GATE, 'tri_vmem': fk._TRI_VMEM,\n"
+        "  'flat1': ip._FLAT1,\n"
         "  'subtris': sc.SUB_TRIS, 'super_size': sc.SUPER_CLUSTERS,\n"
         "  'curve': os.environ.get('RRT_CURVE', 'median'),\n"
         "}))\n"
@@ -82,6 +83,6 @@ def test_knob_defaults_are_measured_best():
         "f2b": True, "f2b_sub": True, "super_min": 32,
         "spp_batch": True, "slot_batch": False,
         "env_scan": 16, "env_sub": 8, "env_static_words": 8,
-        "env_gate": False, "tri_vmem": False,
+        "env_gate": False, "tri_vmem": False, "flat1": True,
         "subtris": 8, "super_size": 32, "curve": "median",
     }
